@@ -1,0 +1,62 @@
+"""Engine configuration.
+
+Reference analogue: resource profiles + partition capacity knobs
+(`radiant/dags/operators/k8s.py:9-31`, `radiant/tasks/starrocks/partition.py:91-94`,
+`radiant/tasks/iceberg/table_accumulator.py:16-19`) — collapsed into one dataclass.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+
+@dataclass
+class EngineConfig:
+    """Knobs for the CDC apply pipeline.
+
+    Defaults are sized for single-node tests; at cluster scale raise
+    ``n_parts`` so each partition's merge group fits one worker's heap
+    (the explicit design assumption of the per-partition merge, SURVEY §7.5).
+    """
+
+    # --- partitioning ---------------------------------------------------
+    #: number of base hash partitions (part = stable_hash(domain) % n_parts).
+    n_parts: int = 8
+    #: a domain whose cumulative row count exceeds this is salted across
+    #: multiple partitions (hot-key handling, north rule axes A+B).
+    salt_threshold_rows: int = 250_000
+    #: target rows per salted sub-partition when splitting a hot domain.
+    salt_target_rows: int = 150_000
+
+    # --- merge / write --------------------------------------------------
+    #: split a partition's snapshot into multiple files above this row count
+    #: (resumable, scan-parallel output; reference flushed at 500MB —
+    #: `radiant/tasks/iceberg/table_accumulator.py:16`).
+    target_rows_per_file: int = 1_000_000
+    #: parquet compression for snapshot files.
+    compression: str = "zstd"
+
+    # --- commit ---------------------------------------------------------
+    #: manifest commit retry budget (reference: 20 attempts w/ backoff,
+    #: `radiant/tasks/iceberg/utils.py:73-96`).
+    commit_retries: int = 20
+
+    # --- doc-id allocation ----------------------------------------------
+    #: "merge": deterministic in-merge allocation from per-partition counters
+    #: persisted in the manifest (no coordination — ids are
+    #: ``part << doc_id_part_shift | seq``).
+    #: "actors": per-partition hash-index actors (state/id_index.py).
+    id_mode: str = "merge"
+    doc_id_part_shift: int = 40
+
+    # --- ray data knobs -------------------------------------------------
+    #: batch size for normalize map_batches; html payloads are ~KB so this
+    #: keeps batches in the tens-of-MB range.
+    normalize_batch_size: int = 8192
+
+    # --- optional early duplicate-event suppression (best-effort actor
+    # stage; correctness never depends on it — the LWW merge dedups) -----
+    early_dedup: bool = False
+    early_dedup_actors: int = 2
+
+    extra: dict = field(default_factory=dict)

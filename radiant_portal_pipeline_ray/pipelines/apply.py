@@ -1,0 +1,398 @@
+"""The CDC apply loop — changelog tail → partitioned LWW upsert → COW commit.
+
+One ``CdcEngine.apply(changelog)`` call is one incremental ingest round
+(reference analogue: one `import-part` DAG run,
+`radiant/dags/import_part.py:100-625`, plus the `import_radiant` control
+loop `radiant/dags/import_radiant.py:48-210`):
+
+  1. read the committed manifest (watermarks, salt map, schema, counters)
+  2. cheap column-pruned scout pass over the delta (url+lsn only) →
+     per-domain counts → salting decisions + changed-partition set
+  3. schema discovery over changelog footers → widen-only unification with
+     the snapshot schema (add / widen / drop evolution)
+  4. ``read_parquet`` the delta (row-filter ``lsn > min committed watermark``)
+     → normalize ``map_batches`` (recompute text, route to partitions,
+     drop already-applied events)
+  5. ``read_parquet`` only the CHANGED partitions' snapshot files → cast to
+     the merge layout (carry-forward side, ``op='S'``)
+  6. ``union`` → ``groupby("part").map_groups`` vectorized LWW merge, each
+     group writing url-sorted staged Parquet and returning one metadata row
+  7. two-phase commit: promote staged files, publish manifest v+1 via
+     atomic put-if-absent (idempotent by txn-id, conflict-retry loop)
+
+Only tiny metadata ever reaches the driver; data flows Arrow-zero-copy
+through Ray's streaming executor with one all-to-all exchange (the
+``groupby(part)``), which is the minimum any keyed merge needs.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+import time
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+import ray.data as rd
+from ray.data.aggregate import Max, Sum
+
+from radiant_portal_pipeline_ray.config import EngineConfig
+from radiant_portal_pipeline_ray.functions.hashing import extract_domain
+from radiant_portal_pipeline_ray.schemas import (
+    CHANGELOG_SCHEMA,
+    INTERNAL_FIELDS,
+    unify_schemas,
+)
+from radiant_portal_pipeline_ray.stages.merge import make_merge_writer
+from radiant_portal_pipeline_ray.stages.normalize import (
+    make_event_normalizer,
+    make_snapshot_caster,
+)
+from radiant_portal_pipeline_ray.state.manifest import (
+    CommitConflict,
+    Lake,
+    Manifest,
+    PartitionState,
+)
+from radiant_portal_pipeline_ray.state.partitioner import Partitioner
+
+_INTERNAL_NAMES = {f.name for f in INTERNAL_FIELDS}
+
+
+def _resolve_paths(changelog: str | list[str]) -> list[str]:
+    if isinstance(changelog, str):
+        if os.path.isdir(changelog):
+            return sorted(glob.glob(os.path.join(changelog, "*.parquet")))
+        return [changelog]
+    return list(changelog)
+
+
+def _domain_count_partial(batch: pa.Table) -> pa.Table:
+    """Per-batch partial aggregate (pre-shuffle combiner, SURVEY A1 shape)."""
+    doms = extract_domain(batch.column("url"))
+    t = pa.table({"domain": doms, "lsn": batch.column("lsn")})
+    g = t.group_by("domain").aggregate([("lsn", "count"), ("lsn", "max")])
+    return g.rename_columns(["domain", "n", "max_lsn"])
+
+
+class CdcEngine:
+    def __init__(self, lake_root: str, config: EngineConfig | None = None):
+        self.lake = Lake(lake_root)
+        self.cfg = config or EngineConfig()
+
+    # ------------------------------------------------------------------
+    def apply(self, changelog: str | list[str]) -> dict:
+        t0 = time.time()
+        cfg = self.cfg
+        paths = _resolve_paths(changelog)
+        current = self.lake.current_manifest()
+
+        def _noop_report(events_in: int) -> dict:
+            return {
+                "events_in": events_in,
+                "noop": True,
+                "version": current.version if current else None,
+                "rows_upserted": 0,
+                "rows_deleted": 0,
+                "rows_carried": 0,
+                "parts_changed": 0,
+                "wall_s": time.time() - t0,
+            }
+
+        if not paths:
+            return _noop_report(0)
+        watermarks = current.watermarks() if current else {}
+        min_wm = current.min_watermark() if current else -1
+
+        partitioner = Partitioner(
+            n_parts=cfg.n_parts,
+            salt_map=dict(current.salt_map) if current else {},
+            next_part=current.next_part if current else cfg.n_parts,
+            hot_counts=dict(current.metrics.get("hot_counts", {})) if current else {},
+            salt_threshold_rows=cfg.salt_threshold_rows,
+            salt_target_rows=cfg.salt_target_rows,
+        )
+
+        # ---- schema discovery & unification (driver-side footer reads) ----
+        file_schemas: dict[bytes, tuple[pa.Schema, list[str]]] = {}
+        for p in paths:
+            sch = pq.read_schema(p)
+            sch = pa.schema([pa.field(f.name, f.type) for f in sch])  # drop metadata
+            key = sch.serialize().to_pybytes()
+            file_schemas.setdefault(key, (sch, []))[1].append(p)
+        event_schema = unify_schemas(
+            [CHANGELOG_SCHEMA] + [s for s, _ in file_schemas.values()]
+        )
+        new_data_fields = [
+            f for f in event_schema if f.name not in ("op", "lsn")
+        ]
+        old_data_fields = (
+            [f for f in current.schema if f.name not in _INTERNAL_NAMES]
+            if current and current.schema
+            else []
+        )
+        data_schema = unify_schemas(
+            [pa.schema(old_data_fields), pa.schema(new_data_fields)]
+        ) if old_data_fields else pa.schema(new_data_fields)
+        snapshot_schema = pa.schema(list(data_schema) + INTERNAL_FIELDS)
+        union_schema = pa.schema([pa.field("op", pa.string())] + list(snapshot_schema))
+
+        # ---- scout pass: pruned columns only → per-domain counts ----------
+        filt = (pc.field("lsn") > pa.scalar(min_wm)) if current else None
+        scout = rd.read_parquet(paths, columns=["url", "lsn"], filter=filt)
+        dom_counts_ds = scout.map_batches(
+            _domain_count_partial, batch_format="pyarrow"
+        ).groupby("domain").aggregate(
+            Sum("n", alias_name="n"),
+            Max("max_lsn", alias_name="max_lsn"),
+        )
+        dom_rows = dom_counts_ds.take_all()
+        events_seen = int(sum(r["n"] for r in dom_rows))
+        if events_seen == 0:
+            return _noop_report(0)
+
+        # ---- salting decisions + changed-partition set --------------------
+        decisions = partitioner.observe_delta_counts(
+            {r["domain"]: r["n"] for r in dom_rows}
+        )
+        changed_parts: set[int] = set()
+        for r in dom_rows:
+            parts = partitioner.parts_of_domain(r["domain"])
+            if any(r["max_lsn"] > watermarks.get(p, -1) for p in parts):
+                changed_parts.update(parts)
+        for d in decisions:
+            changed_parts.update(d.old_parts)
+            changed_parts.update(d.new_parts)
+
+        # ---- delta normalize ----------------------------------------------
+        normalizer = make_event_normalizer(
+            event_schema,
+            union_schema,
+            cfg.n_parts,
+            partitioner.salt_map,
+            watermarks,
+            partitioner.max_part_id(),
+        )
+        delta = None
+        for _, (sch, group_paths) in sorted(file_schemas.items()):
+            ds = rd.read_parquet(group_paths, filter=filt).map_batches(
+                normalizer,
+                batch_format="pyarrow",
+                batch_size=cfg.normalize_batch_size,
+            )
+            delta = ds if delta is None else delta.union(ds)
+
+        # ---- carried-forward side -----------------------------------------
+        combined = delta
+        old_files = []
+        if current:
+            for p in sorted(changed_parts):
+                st = current.partitions.get(p)
+                if st:
+                    old_files.extend(self.lake.abspath(f) for f in st.files)
+        if old_files:
+            caster = make_snapshot_caster(
+                union_schema, cfg.n_parts, partitioner.salt_map
+            )
+            old_ds = rd.read_parquet(old_files).map_batches(
+                caster, batch_format="pyarrow", batch_size=cfg.normalize_batch_size
+            )
+            combined = delta.union(old_ds)
+
+        # ---- per-partition LWW merge + staged write -----------------------
+        txn_id = self.lake.new_txn_id()
+        staging = self.lake.staging_dir(txn_id)
+        writer = make_merge_writer(
+            txn_id=txn_id,
+            staging_dir=staging,
+            snapshot_schema=snapshot_schema,
+            next_doc_seq={
+                p: st.next_doc_seq
+                for p, st in (current.partitions.items() if current else [])
+            },
+            doc_id_part_shift=cfg.doc_id_part_shift,
+            target_rows_per_file=cfg.target_rows_per_file,
+            compression=cfg.compression,
+        )
+        meta_rows = (
+            combined.groupby("part")
+            .map_groups(writer, batch_format="pyarrow")
+            .take_all()
+        )
+        if not meta_rows:
+            return _noop_report(events_seen)
+
+        # ---- phase 2: promote + commit (retry on version conflict) --------
+        self.lake.promote_staged_files(txn_id)
+        migrated_empty = {
+            p for d in decisions for p in d.old_parts
+        } - {m["part"] for m in meta_rows}
+
+        report = self._commit_with_retry(
+            txn_id, snapshot_schema, partitioner, meta_rows, migrated_empty
+        )
+        report.update(
+            {
+                "events_in": events_seen,
+                "parts_changed": len(meta_rows),
+                "salted_domains": [d.domain for d in decisions],
+                "wall_s": time.time() - t0,
+            }
+        )
+        return report
+
+    # ------------------------------------------------------------------
+    def _commit_with_retry(
+        self,
+        txn_id: str,
+        snapshot_schema: pa.Schema,
+        partitioner: Partitioner,
+        meta_rows: list[dict],
+        migrated_empty: set[int],
+    ) -> dict:
+        """Rebuild-manifest-and-retry loop; analogue of the reference's
+        Iceberg commit retry (`radiant/tasks/iceberg/utils.py:73-96`)."""
+        attempt = 0
+        while True:
+            attempt += 1
+            base = self.lake.current_manifest()
+            parts: dict[int, PartitionState] = (
+                {p: st for p, st in base.partitions.items()} if base else {}
+            )
+            now = time.time()
+            tot_up = tot_del = tot_car = tot_ev = 0
+            for m in meta_rows:
+                p = int(m["part"])
+                old_st = parts.get(p)
+                lineage = list(old_st.lineage) if old_st else []
+                lineage.append(
+                    {
+                        "txn_id": txn_id,
+                        "ts": now,
+                        "events_in": int(m["events_in"]),
+                        "rows_upserted": int(m["rows_upserted"]),
+                        "rows_deleted": int(m["rows_deleted"]),
+                        "rows_carried": int(m["rows_carried"]),
+                        "max_lsn": int(m["max_lsn"]),
+                    }
+                )
+                wm_old = old_st.watermark_lsn if old_st else -1
+                parts[p] = PartitionState(
+                    files=[f"data/part={p}/{fn}" for fn in m["files"]],
+                    rows=int(m["rows"]),
+                    tombstones=int(m["tombstones"]),
+                    bytes=int(m["bytes"]),
+                    watermark_lsn=max(wm_old, int(m["max_lsn"])),
+                    next_doc_seq=int(m["next_doc_seq"]),
+                    lineage=lineage,
+                )
+                tot_up += int(m["rows_upserted"])
+                tot_del += int(m["rows_deleted"])
+                tot_car += int(m["rows_carried"])
+                tot_ev += int(m["events_in"])
+            for p in migrated_empty:
+                old_st = parts.get(p)
+                if old_st:
+                    lineage = list(old_st.lineage)
+                    lineage.append({"txn_id": txn_id, "ts": now, "migrated_out": True})
+                    parts[p] = PartitionState(
+                        files=[],
+                        rows=0,
+                        bytes=0,
+                        watermark_lsn=old_st.watermark_lsn,
+                        next_doc_seq=old_st.next_doc_seq,
+                        lineage=lineage,
+                    )
+            version = (base.version + 1) if base else 1
+            manifest = Manifest(
+                version=version,
+                txn_id=txn_id,
+                parent_version=base.version if base else None,
+                schema=snapshot_schema,
+                partitions=parts,
+                salt_map=partitioner.salt_map,
+                next_part=partitioner.next_part,
+                metrics={
+                    "hot_counts": partitioner.hot_counts,
+                    "last_apply": {
+                        "events_in": tot_ev,
+                        "rows_upserted": tot_up,
+                        "rows_deleted": tot_del,
+                        "rows_carried": tot_car,
+                    },
+                },
+            )
+            try:
+                committed = self.lake.commit(manifest)
+                return {
+                    "version": committed.version,
+                    "txn_id": txn_id,
+                    "rows_upserted": tot_up,
+                    "rows_deleted": tot_del,
+                    "rows_carried": tot_car,
+                    "commit_attempts": attempt,
+                }
+            except CommitConflict:
+                if attempt >= self.cfg.commit_retries:
+                    raise
+                time.sleep(min(0.05 * attempt, 1.0))
+
+    # ------------------------------------------------------------------
+    def read_snapshot(
+        self,
+        columns: list[str] | None = None,
+        include_tombstones: bool = False,
+    ) -> "rd.Dataset":
+        """Current committed state as a streaming Dataset (live rows only by
+        default — retained delete tombstones are engine-internal)."""
+        man = self.lake.current_manifest()
+        files = (
+            [
+                self.lake.abspath(f)
+                for st in man.partitions.values()
+                for f in st.files
+            ]
+            if man
+            else []
+        )
+        if not files:
+            sch = man.schema if man and man.schema else CHANGELOG_SCHEMA
+            empty = pa.Table.from_arrays(
+                [pa.array([], type=f.type) for f in sch], schema=sch
+            )
+            return rd.from_arrow(empty)
+        filt = None if include_tombstones else ~pc.field("deleted")
+        return rd.read_parquet(files, columns=columns, filter=filt)
+
+    def snapshot_table(
+        self,
+        columns: list[str] | None = None,
+        include_tombstones: bool = False,
+    ) -> pa.Table:
+        """Driver-side pyarrow materialization — tests/small results only."""
+        man = self.lake.current_manifest()
+        if not man or not any(st.files for st in man.partitions.values()):
+            sch = man.schema if man and man.schema else CHANGELOG_SCHEMA
+            return pa.Table.from_arrays(
+                [pa.array([], type=f.type) for f in sch], schema=sch
+            )
+        tables = []
+        for st in man.partitions.values():
+            for f in st.files:
+                t = pq.read_table(self.lake.abspath(f), columns=columns)
+                tables.append(t)
+        out = pa.concat_tables(tables, promote_options="permissive")
+        if not include_tombstones:
+            if columns is None or "deleted" in (columns or []):
+                out = out.filter(pc.equal(out.column("deleted"), False))
+            else:
+                mask = pa.concat_tables(
+                    [
+                        pq.read_table(self.lake.abspath(f), columns=["deleted"])
+                        for st in man.partitions.values()
+                        for f in st.files
+                    ]
+                ).column("deleted")
+                out = out.filter(pc.equal(mask.combine_chunks(), False))
+        return out

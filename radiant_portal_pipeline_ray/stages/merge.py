@@ -1,0 +1,183 @@
+"""Per-partition LWW merge + staged Parquet writer (``groupby(part).map_groups``).
+
+One group = one partition's carried-forward snapshot rows (``op='S'``) plus
+its fresh change events. The merge is fully vectorized and deterministic:
+
+  sort by (url, warc_ts, lsn)  →  keep the last row per url (LWW)
+  →  drop urls whose winner is a delete tombstone
+  →  re-attach stable doc_ids (existing urls keep theirs; new urls get
+     ``part << shift | seq`` allocated deterministically in url order from
+     the partition's persisted counter)
+  →  write url-sorted Parquet file(s) into ``_staging/<txn>/part=<P>/``
+  →  return ONE small metadata row (files, counts, max lsn, lineage metrics)
+
+Determinism matters: a retried Ray task re-executes the same group and
+writes byte-identical files (same sort, same tie-breaks, same allocation
+order), which is what makes the two-phase commit exactly-once under
+retries (SURVEY §7.5 "Custom LWW semantics under retries").
+
+Reference analogue: the rank-1 upsert shape
+``ROW_NUMBER() OVER (PARTITION BY key ORDER BY ...) = 1``
+(`radiant/dags/sql/radiant/exomiser_insert_partition_delta.sql:9`), the
+copy-partition carry-forward ``NOT IN delta AND NOT IN deleted``
+(`radiant/dags/sql/radiant/germline_snv_occurrence_copy_partition.sql:1-3`)
+and the AUTO_INCREMENT id dictionary
+(`radiant/dags/sql/radiant/init/variant_lookup_create_table.sql:1-7`) —
+collapsed into one per-partition vectorized kernel.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+META_SCHEMA = pa.schema(
+    [
+        pa.field("part", pa.int32()),
+        pa.field("files", pa.list_(pa.string())),
+        pa.field("rows", pa.int64()),
+        pa.field("tombstones", pa.int64()),
+        pa.field("bytes", pa.int64()),
+        pa.field("max_lsn", pa.int64()),
+        pa.field("rows_upserted", pa.int64()),
+        pa.field("rows_deleted", pa.int64()),
+        pa.field("rows_carried", pa.int64()),
+        pa.field("events_in", pa.int64()),
+        pa.field("next_doc_seq", pa.int64()),
+    ]
+)
+
+
+def make_merge_writer(
+    txn_id: str,
+    staging_dir: str,
+    snapshot_schema: pa.Schema,
+    next_doc_seq: dict[int, int],
+    doc_id_part_shift: int,
+    target_rows_per_file: int,
+    compression: str,
+):
+    def merge_group(group: pa.Table) -> pa.Table:
+        group = group.combine_chunks()
+        part = group.column("part")[0].as_py()
+
+        idx = pc.sort_indices(
+            group,
+            sort_keys=[
+                ("url", "ascending"),
+                ("warc_ts", "ascending"),
+                ("lsn", "ascending"),
+            ],
+        )
+        t = group.take(idx)
+
+        ops = t.column("op").to_numpy(zero_copy_only=False)
+        is_state = ops == "S"
+        events_in = int((~is_state).sum())
+        ev_lsn = t.column("lsn").to_numpy(zero_copy_only=False)[~is_state]
+        max_lsn = int(ev_lsn.max()) if len(ev_lsn) else -1
+
+        urls = t.column("url").to_numpy(zero_copy_only=False)
+        n = len(urls)
+        last = np.empty(n, dtype=bool)
+        if n:
+            last[:-1] = urls[:-1] != urls[1:]
+            last[-1] = True
+        winners = t.filter(pa.array(last))
+        w_ops = ops[last]
+
+        # tombstone semantics: a winning delete is RETAINED as a flagged row
+        # so later out-of-order events lose to it (see schemas.INTERNAL_FIELDS)
+        prev_deleted = (
+            pc.fill_null(winners.column("deleted"), False)
+            .to_numpy(zero_copy_only=False)
+            .astype(bool)
+        )
+        deleted_flag = np.where(w_ops == "D", True, np.where(w_ops == "S", prev_deleted, False))
+        live = winners.set_column(
+            winners.schema.get_field_index("deleted"),
+            pa.field("deleted", pa.bool_()),
+            pa.array(deleted_flag, type=pa.bool_()),
+        )
+        live_ops = w_ops
+
+        # stable doc_id: existing urls keep theirs (url → doc_id from carried
+        # state rows), new urls get deterministic sequential ids in url order.
+        state_rows = t.filter(pa.array(is_state))
+        doc = live.column("doc_id")
+        if state_rows.num_rows:
+            lookup = pc.take(
+                state_rows.column("doc_id").combine_chunks(),
+                pc.index_in(
+                    live.column("url"),
+                    value_set=state_rows.column("url").combine_chunks(),
+                ),
+            )
+            doc = pc.coalesce(doc, lookup)
+        if isinstance(doc, pa.ChunkedArray):
+            doc = doc.combine_chunks()
+        missing = pc.is_null(doc).to_numpy(zero_copy_only=False)
+        doc_np = (
+            pc.fill_null(doc, 0).to_numpy(zero_copy_only=False).astype(np.int64)
+        )
+        seq0 = int(next_doc_seq.get(part, 0))
+        n_new = int(missing.sum())
+        if n_new:
+            base = np.int64(part) << np.int64(doc_id_part_shift)
+            doc_np[missing] = base + seq0 + np.arange(n_new, dtype=np.int64)
+        doc = pa.array(doc_np, type=pa.int64())
+        live = live.set_column(
+            live.schema.get_field_index("doc_id"), pa.field("doc_id", pa.int64()), doc
+        )
+
+        # lineage metrics
+        live_mask = ~deleted_flag
+        n_tombstones = int(deleted_flag.sum())
+        rows_carried = int(((live_ops == "S") & live_mask).sum())
+        rows_upserted = int(((live_ops == "I") | (live_ops == "U")).sum())
+        old_live_urls = set(
+            state_rows.filter(
+                pc.equal(pc.fill_null(state_rows.column("deleted"), False), False)
+            )
+            .column("url")
+            .to_pylist()
+        )
+        del_winner_urls = winners.filter(pa.array(w_ops == "D")).column("url").to_pylist()
+        rows_deleted = sum(1 for u in del_winner_urls if u in old_live_urls)
+
+        # project to the snapshot schema (drops op) and write staged files
+        cols = [live.column(f.name).cast(f.type) for f in snapshot_schema]
+        out = pa.Table.from_arrays(cols, schema=snapshot_schema)
+        part_dir = os.path.join(staging_dir, f"part={part}")
+        os.makedirs(part_dir, exist_ok=True)
+        files, total_bytes = [], 0
+        n_files = max(1, -(-out.num_rows // target_rows_per_file)) if out.num_rows else 0
+        for i in range(n_files):
+            chunk = out.slice(i * target_rows_per_file, target_rows_per_file)
+            path = os.path.join(part_dir, f"{txn_id}-{part}-{i:04d}.parquet")
+            pq.write_table(chunk, path, compression=compression)
+            files.append(os.path.basename(path))
+            total_bytes += os.path.getsize(path)
+
+        return pa.Table.from_pydict(
+            {
+                "part": [part],
+                "files": [files],
+                "rows": [out.num_rows - n_tombstones],
+                "tombstones": [n_tombstones],
+                "bytes": [total_bytes],
+                "max_lsn": [max_lsn],
+                "rows_upserted": [rows_upserted],
+                "rows_deleted": [rows_deleted],
+                "rows_carried": [rows_carried],
+                "events_in": [events_in],
+                "next_doc_seq": [seq0 + n_new],
+            },
+            schema=META_SCHEMA,
+        )
+
+    return merge_group

@@ -1,0 +1,96 @@
+"""Changelog normalization stage (stateless, vectorized ``map_batches``).
+
+Per event batch (zero-copy Arrow in / Arrow out):
+  1. align to the unified changelog schema (schema evolution: add/widen/drop),
+  2. recompute ``text = extract_text(html)`` — the committed snapshot NEVER
+     trusts the incoming ``text`` column, which enforces the byte-identical
+     per-row invariant by construction,
+  3. extract ``domain(url)`` and assign the partition id (salt-aware),
+  4. drop events at-or-below the partition's committed watermark
+     (idempotent re-delivery / resume),
+  5. append a null ``doc_id`` column so events union cleanly with carried
+     snapshot rows.
+
+Reference analogue: the per-record extraction front-end + partition routing
+(`radiant/tasks/vcf/snv/common.py:38-56`,
+`radiant/tasks/starrocks/partition.py:195-231`) re-expressed as one Arrow
+batch kernel; the watermark predicate mirrors
+``updated_at >= COALESCE(ingested_at, epoch)``
+(`radiant/dags/sql/radiant/sequencing_experiment_partition_select.sql:25-27`).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from radiant_portal_pipeline_ray.functions.hashing import assign_parts, extract_domain
+from radiant_portal_pipeline_ray.functions.text import extract_text
+from radiant_portal_pipeline_ray.schemas import align_table
+
+
+def make_event_normalizer(
+    event_schema: pa.Schema,
+    union_schema: pa.Schema,
+    n_parts: int,
+    salt_map: dict[str, list[int]],
+    watermarks: dict[int, int],
+    max_part_id: int,
+):
+    """Build the map_batches fn. All captured state is small and immutable
+    (schemas + salt map + watermark dict) — broadcast once per task by Ray's
+    closure serialization."""
+    wm_arr = np.full(max_part_id + 1, -1, dtype=np.int64)
+    for p, w in watermarks.items():
+        if p <= max_part_id:
+            wm_arr[p] = w
+
+    def normalize(batch: pa.Table) -> pa.Table:
+        t = align_table(batch, event_schema)
+        text = extract_text(t.column("html"))
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        t = t.set_column(t.schema.get_field_index("text"), "text", text)
+        urls = t.column("url")
+        domains = extract_domain(urls)
+        parts = assign_parts(urls, domains, n_parts, salt_map)
+        t = t.append_column(pa.field("part", pa.int32()), parts)
+
+        lsn = t.column("lsn").to_numpy(zero_copy_only=False)
+        pnp = parts.to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = lsn > wm_arr[pnp]
+        if not keep.all():
+            t = t.filter(pa.array(keep))
+        return align_table(t, union_schema)
+
+    return normalize
+
+
+def make_snapshot_caster(
+    union_schema: pa.Schema,
+    n_parts: int,
+    salt_map: dict[str, list[int]],
+):
+    """Cast carried-forward snapshot rows into the union (merge-input) layout.
+
+    Sets ``op='S'`` (state) and — crucially — RECOMPUTES ``part`` from the
+    *current* salt map, which is what migrates a freshly-salted hot domain's
+    historical rows out of its base partition (SURVEY §7.5 "skewed domains":
+    url→part stays a pure function of the persisted salt map, so carried
+    rows and new events always co-locate).
+    """
+
+    def cast(batch: pa.Table) -> pa.Table:
+        urls = batch.column("url")
+        domains = extract_domain(urls)
+        parts = assign_parts(urls, domains, n_parts, salt_map)
+        idx = batch.schema.get_field_index("part")
+        batch = batch.set_column(idx, pa.field("part", pa.int32()), parts)
+        batch = batch.append_column(
+            pa.field("op", pa.string()),
+            pa.array(["S"] * batch.num_rows, type=pa.string()),
+        )
+        return align_table(batch, union_schema)
+
+    return cast
