@@ -1,0 +1,191 @@
+"""Benchmark harness (driver contract, BASELINE.md target).
+
+Headline: CDC apply throughput — replay a deterministic synthetic webtext
+changelog (FIXTURES.md bench tier, scaled to $GRAFT_SF_DIR) through the full
+engine in incremental rounds, measuring end-to-end apply wall time
+(normalize → route → LWW merge → exactly-once commit). Secondary: wall time
+of representative operator pipelines over the sf tables.
+
+Prints ONE JSON line on stdout:
+  {"metric": "cdc_replay_sec", "value": <sec>, "unit": "sec",
+   "events_per_sec": ..., "queries": {...}, "sf": ..., "num_cpus": N}
+
+--scaling: run the same input in two fresh processes at num_cpus=8 and 32
+and report throughput at both + scaling efficiency (two-cluster-size
+stand-in; this sandbox has no multi-node cluster).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+
+def _sf_dir() -> str:
+    return os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def _num_cpus() -> int:
+    return int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+
+
+def _bench_spec(sf_dir: str):
+    """Scale the changelog to the sf tier: ~10/3 events per lineitem row
+    (600k rows at sf0.1 → 2M events, FIXTURES.md bench tier)."""
+    import pyarrow.parquet as pq
+
+    from radiant_portal_pipeline_ray.sources.generator import ChangelogSpec
+
+    li_rows = pq.ParquetFile(os.path.join(sf_dir, "lineitem.parquet")).metadata.num_rows
+    n_events = max(20_000, int(li_rows * 10 / 3))
+    return ChangelogSpec(
+        n_urls=max(2_000, n_events // 10),
+        n_events=n_events,
+        n_domains=max(50, n_events // 4_000),
+        n_batches=8,
+        seed=42,
+    )
+
+
+def _ensure_changelog(spec) -> list[str]:
+    """Generate once, cache under /tmp keyed by the spec (generation is
+    untimed; it also warms the page cache for the timed read)."""
+    from radiant_portal_pipeline_ray.sources.generator import generate_changelog
+
+    key = hashlib.sha256(repr(spec).encode()).hexdigest()[:16]
+    root = f"/tmp/graft_bench/changelog-{key}"
+    done = os.path.join(root, "_DONE")
+    if os.path.exists(done):
+        return sorted(
+            os.path.join(root, f) for f in os.listdir(root) if f.endswith(".parquet")
+        )
+    shutil.rmtree(root, ignore_errors=True)
+    paths = generate_changelog(root, spec)
+    with open(done, "w") as f:
+        f.write("ok")
+    return paths
+
+
+def run_bench() -> dict:
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=_num_cpus(),
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+
+    from radiant_portal_pipeline_ray.config import EngineConfig
+    from radiant_portal_pipeline_ray.pipelines.apply import CdcEngine
+
+    sf_dir = _sf_dir()
+    spec = _bench_spec(sf_dir)
+    paths = _ensure_changelog(spec)
+    # warm page cache (untimed)
+    for p in paths:
+        with open(p, "rb") as f:
+            while f.read(1 << 22):
+                pass
+
+    lake = f"/tmp/graft_bench/lake-{_num_cpus()}"
+    shutil.rmtree(lake, ignore_errors=True)
+    n_parts = max(16, _num_cpus())
+    eng = CdcEngine(lake, EngineConfig(n_parts=n_parts))
+
+    t0 = time.time()
+    rounds = []
+    for i in range(0, len(paths), 2):  # 4 incremental rounds of 2 batches
+        r = eng.apply(paths[i : i + 2])
+        rounds.append(round(r["wall_s"], 3))
+    replay_sec = time.time() - t0
+    events_per_sec = spec.n_events / replay_sec
+
+    # secondary operator pipelines over the sf tables
+    from radiant_portal_pipeline_ray.pipelines import (
+        dedup,
+        relational,
+        similarity,
+        textops,
+    )
+
+    bench_queries = {
+        "q1_pricing_summary": relational.QUERIES["q1_pricing_summary"][0],
+        "q_region_revenue": relational.QUERIES["q_region_revenue"][0],
+        "q_shipped_within_60d": relational.QUERIES["q_shipped_within_60d"][0],
+        "q_latest_order_per_customer": relational.QUERIES[
+            "q_latest_order_per_customer"
+        ][0],
+        "q_hourly_user_activity": relational.QUERIES["q_hourly_user_activity"][0],
+        "dd_minhash_lsh": dedup.QUERIES["dd_minhash_lsh"][0],
+        "dd_exact": dedup.QUERIES["dd_exact"][0],
+        "t_quality_scores": textops.QUERIES["t_quality_scores"][0],
+        "sim_topk_cosine": similarity.QUERIES["sim_topk_cosine"][0],
+    }
+    qtimes = {}
+    for name, fn in bench_queries.items():
+        tq = time.time()
+        res = fn(sf_dir)
+        if hasattr(res, "materialize"):
+            res.materialize()
+        qtimes[name] = round(time.time() - tq, 3)
+
+    out = {
+        "metric": "cdc_replay_sec",
+        "value": round(replay_sec, 3),
+        "unit": "sec",
+        "events_per_sec": round(events_per_sec, 1),
+        "n_events": spec.n_events,
+        "apply_rounds_sec": rounds,
+        "queries": qtimes,
+        "sf": sf_dir,
+        "num_cpus": _num_cpus(),
+    }
+    ray.shutdown()
+    return out
+
+
+def run_scaling() -> dict:
+    def run(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env,
+            capture_output=True,
+            text=True,
+            check=True,
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    lo, hi = 8, 32
+    r_lo, r_hi = run(lo), run(hi)
+    t_lo, t_hi = r_lo["value"], r_hi["value"]
+    eff = (t_lo / t_hi) / (hi / lo)
+    return {
+        "metric": "scaling_efficiency",
+        "cpus_lo": lo,
+        "cpus_hi": hi,
+        "sec_lo": t_lo,
+        "sec_hi": t_hi,
+        "events_per_sec_lo": r_lo["events_per_sec"],
+        "events_per_sec_hi": r_hi["events_per_sec"],
+        "scaling_efficiency": round(eff, 3),
+    }
+
+
+if __name__ == "__main__":
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    else:
+        print(json.dumps(run_bench()))

@@ -35,10 +35,8 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import pyarrow.parquet as pq
 import ray.data as rd
-from ray.data.aggregate import Max, Sum
 
 from radiant_portal_pipeline_ray.config import EngineConfig
-from radiant_portal_pipeline_ray.functions.hashing import extract_domain
 from radiant_portal_pipeline_ray.schemas import (
     CHANGELOG_SCHEMA,
     INTERNAL_FIELDS,
@@ -68,12 +66,6 @@ def _resolve_paths(changelog: str | list[str]) -> list[str]:
     return list(changelog)
 
 
-def _domain_count_partial(batch: pa.Table) -> pa.Table:
-    """Per-batch partial aggregate (pre-shuffle combiner, SURVEY A1 shape)."""
-    doms = extract_domain(batch.column("url"))
-    t = pa.table({"domain": doms, "lsn": batch.column("lsn")})
-    g = t.group_by("domain").aggregate([("lsn", "count"), ("lsn", "max")])
-    return g.rename_columns(["domain", "n", "max_lsn"])
 
 
 class CdcEngine:
@@ -138,34 +130,10 @@ class CdcEngine:
         snapshot_schema = pa.schema(list(data_schema) + INTERNAL_FIELDS)
         union_schema = pa.schema([pa.field("op", pa.string())] + list(snapshot_schema))
 
-        # ---- scout pass: pruned columns only → per-domain counts ----------
+        # ---- delta: read → normalize → materialize (ONE pass over the
+        # changelog; the materialized delta feeds both the changed-partition
+        # probe and the merge, so normalize never re-executes) --------------
         filt = (pc.field("lsn") > pa.scalar(min_wm)) if current else None
-        scout = rd.read_parquet(paths, columns=["url", "lsn"], filter=filt)
-        dom_counts_ds = scout.map_batches(
-            _domain_count_partial, batch_format="pyarrow"
-        ).groupby("domain").aggregate(
-            Sum("n", alias_name="n"),
-            Max("max_lsn", alias_name="max_lsn"),
-        )
-        dom_rows = dom_counts_ds.take_all()
-        events_seen = int(sum(r["n"] for r in dom_rows))
-        if events_seen == 0:
-            return _noop_report(0)
-
-        # ---- salting decisions + changed-partition set --------------------
-        decisions = partitioner.observe_delta_counts(
-            {r["domain"]: r["n"] for r in dom_rows}
-        )
-        changed_parts: set[int] = set()
-        for r in dom_rows:
-            parts = partitioner.parts_of_domain(r["domain"])
-            if any(r["max_lsn"] > watermarks.get(p, -1) for p in parts):
-                changed_parts.update(parts)
-        for d in decisions:
-            changed_parts.update(d.old_parts)
-            changed_parts.update(d.new_parts)
-
-        # ---- delta normalize ----------------------------------------------
         normalizer = make_event_normalizer(
             event_schema,
             union_schema,
@@ -182,6 +150,20 @@ class CdcEngine:
                 batch_size=cfg.normalize_batch_size,
             )
             delta = ds if delta is None else delta.union(ds)
+        delta = delta.materialize()
+        events_seen = delta.count()
+
+        # ---- changed partitions: parts present in the delta + pending
+        # migrations from a salting decision committed last round -----------
+        pending = dict(current.pending_migrations) if current else {}
+        changed_parts: set[int] = set(
+            int(p) for p in delta.unique("part")
+        ) if events_seen else set()
+        for d, old_parts in pending.items():
+            changed_parts.update(old_parts)
+            changed_parts.update(partitioner.salt_map.get(d, []))
+        if events_seen == 0 and not changed_parts:
+            return _noop_report(0)
 
         # ---- carried-forward side -----------------------------------------
         combined = delta
@@ -198,7 +180,7 @@ class CdcEngine:
             old_ds = rd.read_parquet(old_files).map_batches(
                 caster, batch_format="pyarrow", batch_size=cfg.normalize_batch_size
             )
-            combined = delta.union(old_ds)
+            combined = old_ds if events_seen == 0 else delta.union(old_ds)
 
         # ---- per-partition LWW merge + staged write -----------------------
         txn_id = self.lake.new_txn_id()
@@ -223,20 +205,38 @@ class CdcEngine:
         if not meta_rows:
             return _noop_report(events_seen)
 
+        # ---- deferred salting: decide from the merge's heavy-hitter counts;
+        # migrations execute on the NEXT apply via pending_migrations -------
+        import json as _json
+
+        domain_totals: dict[str, int] = {}
+        for m in meta_rows:
+            for d, n in _json.loads(m["top_domains"]).items():
+                domain_totals[d] = domain_totals.get(d, 0) + int(n)
+        decisions = partitioner.observe_domain_rows(domain_totals)
+        pending_next = {d.domain: d.old_parts for d in decisions}
+
+        # parts fully drained by THIS round's executed migrations
+        migrated_empty = {
+            p for old_parts in pending.values() for p in old_parts
+        } - {int(m["part"]) for m in meta_rows}
+
         # ---- phase 2: promote + commit (retry on version conflict) --------
         self.lake.promote_staged_files(txn_id)
-        migrated_empty = {
-            p for d in decisions for p in d.old_parts
-        } - {m["part"] for m in meta_rows}
-
         report = self._commit_with_retry(
-            txn_id, snapshot_schema, partitioner, meta_rows, migrated_empty
+            txn_id,
+            snapshot_schema,
+            partitioner,
+            meta_rows,
+            migrated_empty,
+            pending_next,
         )
         report.update(
             {
                 "events_in": events_seen,
                 "parts_changed": len(meta_rows),
                 "salted_domains": [d.domain for d in decisions],
+                "migrated_domains": sorted(pending.keys()),
                 "wall_s": time.time() - t0,
             }
         )
@@ -250,6 +250,7 @@ class CdcEngine:
         partitioner: Partitioner,
         meta_rows: list[dict],
         migrated_empty: set[int],
+        pending_next: dict[str, list[int]],
     ) -> dict:
         """Rebuild-manifest-and-retry loop; analogue of the reference's
         Iceberg commit retry (`radiant/tasks/iceberg/utils.py:73-96`)."""
@@ -312,6 +313,7 @@ class CdcEngine:
                 schema=snapshot_schema,
                 partitions=parts,
                 salt_map=partitioner.salt_map,
+                pending_migrations=pending_next,
                 next_part=partitioner.next_part,
                 metrics={
                     "hot_counts": partitioner.hot_counts,

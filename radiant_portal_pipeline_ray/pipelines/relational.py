@@ -1,0 +1,620 @@
+"""Relational operator suite over the TPC-H-ish test tables.
+
+Each entry implements one operator family from SURVEY.md §2 as an idiomatic
+Ray Data pipeline, paired with the exact ANSI-SQL oracle the driver runs in
+DuckDB (column names match 1:1). Float aggregates are emitted as
+fixed-point BIGINTs (``*_c`` cents, ``*_e4`` ten-thousandths) so Ray and
+DuckDB agree bit-for-bit regardless of summation order.
+
+Registry shape: ``QUERIES[name] = (fn(sf_dir) -> Dataset|Table, oracle_sql)``.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+import ray.data as rd
+
+from radiant_portal_pipeline_ray.stages.aggregates import (
+    count_distinct_groupby,
+    partial_final_groupby,
+    topk_per_key,
+)
+from radiant_portal_pipeline_ray.stages.hashjoin import hash_partitioned_join
+from radiant_portal_pipeline_ray.stages.joins import (
+    make_broadcast_join,
+    make_semi_filter,
+)
+
+QUERIES: dict = {}
+
+
+def _register(name: str, sql: str | None):
+    def deco(fn):
+        QUERIES[name] = (fn, sql)
+        return fn
+
+    return deco
+
+
+def _pq(sf_dir: str, table: str) -> str:
+    return os.path.join(sf_dir, f"{table}.parquet")
+
+
+def _to_cents(col, scale=100):
+    return pc.cast(pc.round(pc.multiply(col, float(scale))), pa.int64())
+
+
+# ---------------------------------------------------------------------------
+# A1/A2: grouped aggregate with per-batch partial combining (TPC-H Q1 shape)
+# ref: germline_snv_staging_variant_freq_insert.sql + variant_frequency roll-up
+# ---------------------------------------------------------------------------
+@_register(
+    "q1_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(ROUND(SUM(l_quantity)) AS BIGINT) AS sum_qty,
+           CAST(ROUND(SUM(l_extendedprice)*100) AS BIGINT) AS sum_base_price_c,
+           CAST(ROUND(SUM(l_extendedprice*(1-l_discount))*10000) AS BIGINT) AS sum_disc_price_e4,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+)
+def q1_pricing_summary(sf_dir: str):
+    cutoff = pa.scalar(np.datetime64("1998-09-02T00:00:00", "us"))
+    ds = rd.read_parquet(
+        _pq(sf_dir, "lineitem"),
+        columns=[
+            "l_returnflag",
+            "l_linestatus",
+            "l_quantity",
+            "l_extendedprice",
+            "l_discount",
+            "l_shipdate",
+        ],
+        filter=pc.field("l_shipdate") <= cutoff,
+    )
+
+    def revenue(b: pa.Table) -> pa.Table:
+        disc = pc.multiply(
+            b.column("l_extendedprice"), pc.subtract(1.0, b.column("l_discount"))
+        )
+        b = b.append_column("disc_price", disc)
+        return b.append_column("one", pa.array(np.ones(b.num_rows, dtype=np.int64)))
+
+    ds = ds.map_batches(revenue, batch_format="pyarrow")
+    agg = partial_final_groupby(
+        ds,
+        ["l_returnflag", "l_linestatus"],
+        [
+            ("l_quantity", "sum", "sum_qty_f"),
+            ("l_extendedprice", "sum", "sum_base_f"),
+            ("disc_price", "sum", "sum_disc_f"),
+            ("one", "sum", "count_order"),
+        ],
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "l_returnflag": b.column("l_returnflag"),
+                "l_linestatus": b.column("l_linestatus"),
+                "sum_qty": _to_cents(b.column("sum_qty_f"), 1),
+                "sum_base_price_c": _to_cents(b.column("sum_base_f"), 100),
+                "sum_disc_price_e4": _to_cents(b.column("sum_disc_f"), 10000),
+                "count_order": pc.cast(b.column("count_order"), pa.int64()),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow").sort(
+        ["l_returnflag", "l_linestatus"]
+    )
+
+
+# ---------------------------------------------------------------------------
+# J1/J4: broadcast star join (dimension chain customer→nation→region)
+# ref: JOIN [BROADCAST] germline_snv_occurrence_insert_partition_delta.sql:60-64
+#      + snv_staging_variant_insert.sql 6-way star join
+# ---------------------------------------------------------------------------
+@_register(
+    "q_region_revenue",
+    """
+    SELECT r.r_name AS region_name,
+           CAST(ROUND(SUM(o.o_totalprice)*100) AS BIGINT) AS revenue_c,
+           COUNT(*) AS n_orders
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name ORDER BY region_name
+    """,
+)
+def q_region_revenue(sf_dir: str):
+    cust = pq.read_table(_pq(sf_dir, "customer"), columns=["c_custkey", "c_nationkey"])
+    nation = pq.read_table(_pq(sf_dir, "nation"), columns=["n_nationkey", "n_regionkey"])
+    region = pq.read_table(_pq(sf_dir, "region"), columns=["r_regionkey", "r_name"])
+    # pre-join the dimension chain on the driver (small), broadcast once
+    dim = cust.join(nation, keys=["c_nationkey"], right_keys=["n_nationkey"]).join(
+        region, keys=["n_regionkey"], right_keys=["r_regionkey"]
+    )
+    dim = dim.select(["c_custkey", "r_name"]).rename_columns(
+        ["c_custkey", "region_name"]
+    )
+    orders = rd.read_parquet(
+        _pq(sf_dir, "orders"), columns=["o_custkey", "o_totalprice"]
+    )
+    joined = orders.map_batches(
+        make_broadcast_join(dim, ["o_custkey"], ["c_custkey"], how="inner"),
+        batch_format="pyarrow",
+    )
+    joined = joined.map_batches(
+        lambda b: b.append_column("one", pa.array(np.ones(b.num_rows, dtype=np.int64))),
+        batch_format="pyarrow",
+    )
+    agg = partial_final_groupby(
+        joined,
+        ["region_name"],
+        [("o_totalprice", "sum", "rev_f"), ("one", "sum", "n_orders")],
+    )
+    return agg.map_batches(
+        lambda b: pa.table(
+            {
+                "region_name": b.column("region_name"),
+                "revenue_c": _to_cents(b.column("rev_f")),
+                "n_orders": pc.cast(b.column("n_orders"), pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    ).sort("region_name")
+
+
+# ---------------------------------------------------------------------------
+# J3/D3: anti join — customers with no orders (insert-if-absent shape)
+# ref: variant_lookup_insert_hashes.sql LEFT ANTI JOIN
+# ---------------------------------------------------------------------------
+@_register(
+    "q_customers_without_orders",
+    """
+    SELECT c.c_custkey, c.c_name
+    FROM customer c ANTI JOIN (
+      SELECT o_custkey FROM orders WHERE o_orderdate >= TIMESTAMP '2001-01-01'
+    ) o ON c.c_custkey = o.o_custkey
+    ORDER BY c_custkey
+    """,
+)
+def q_customers_without_orders(sf_dir: str):
+    cutoff = pa.scalar(np.datetime64("2001-01-01T00:00:00", "us"))
+    seen = rd.read_parquet(
+        _pq(sf_dir, "orders"),
+        columns=["o_custkey", "o_orderdate"],
+        filter=pc.field("o_orderdate") >= cutoff,
+    ).unique("o_custkey")
+    key_set = pa.table({"o_custkey": pa.array(sorted(seen), type=pa.int64())})
+    cust = rd.read_parquet(_pq(sf_dir, "customer"), columns=["c_custkey", "c_name"])
+    anti = cust.map_batches(
+        make_semi_filter(["c_custkey"], key_set, invert=True),
+        batch_format="pyarrow",
+    )
+    return anti.sort("c_custkey")
+
+
+# ---------------------------------------------------------------------------
+# J6: semi join — parts that shipped recently (part-pruning shape)
+# ref: snv_variant_part_insert_part.sql LEFT SEMI JOIN
+# ---------------------------------------------------------------------------
+@_register(
+    "q_parts_shipped_recently",
+    """
+    SELECT p.p_partkey, p.p_name
+    FROM part p SEMI JOIN (
+      SELECT l_partkey FROM lineitem WHERE l_shipdate > TIMESTAMP '2000-06-01'
+    ) l ON p.p_partkey = l.l_partkey
+    ORDER BY p_partkey
+    """,
+)
+def q_parts_shipped_recently(sf_dir: str):
+    cutoff = pa.scalar(np.datetime64("2000-06-01T00:00:00", "us"))
+    keys = rd.read_parquet(
+        _pq(sf_dir, "lineitem"),
+        columns=["l_partkey", "l_shipdate"],
+        filter=pc.field("l_shipdate") > cutoff,
+    ).unique("l_partkey")
+    key_set = pa.table({"l_partkey": pa.array(sorted(keys), type=pa.int64())})
+    part = rd.read_parquet(_pq(sf_dir, "part"), columns=["p_partkey", "p_name"])
+    return part.map_batches(
+        make_semi_filter(["p_partkey"], key_set), batch_format="pyarrow"
+    ).sort("p_partkey")
+
+
+# ---------------------------------------------------------------------------
+# W1: per-key rank-1 (the LWW upsert shape) — latest order per customer
+# ref: exomiser_insert_partition_delta.sql ROW_NUMBER ... = 1
+# ---------------------------------------------------------------------------
+@_register(
+    "q_latest_order_per_customer",
+    """
+    SELECT o_custkey, o_orderkey, o_orderdate,
+           CAST(ROUND(o_totalprice*100) AS BIGINT) AS totalprice_c
+    FROM orders
+    QUALIFY row_number() OVER (
+      PARTITION BY o_custkey ORDER BY o_orderdate DESC, o_orderkey DESC) = 1
+    ORDER BY o_custkey
+    """,
+)
+def q_latest_order_per_customer(sf_dir: str):
+    orders = rd.read_parquet(
+        _pq(sf_dir, "orders"),
+        columns=["o_custkey", "o_orderkey", "o_orderdate", "o_totalprice"],
+    )
+    top = topk_per_key(
+        orders,
+        ["o_custkey"],
+        [("o_orderdate", "descending"), ("o_orderkey", "descending")],
+        k=1,
+    )
+    return top.map_batches(
+        lambda b: pa.table(
+            {
+                "o_custkey": b.column("o_custkey"),
+                "o_orderkey": b.column("o_orderkey"),
+                "o_orderdate": b.column("o_orderdate"),
+                "totalprice_c": _to_cents(b.column("o_totalprice")),
+            }
+        ),
+        batch_format="pyarrow",
+    ).sort("o_custkey")
+
+
+# ---------------------------------------------------------------------------
+# W2: grouped argmax — top event per type
+# ref: germline_cnv_occurrence_insert_partition_delta.sql:61-68 rank-1 pick
+# ---------------------------------------------------------------------------
+@_register(
+    "q_top_event_per_type",
+    """
+    SELECT event_type, event_id,
+           CAST(ROUND(value*100) AS BIGINT) AS value_c
+    FROM events
+    QUALIFY row_number() OVER (
+      PARTITION BY event_type ORDER BY value DESC, event_id DESC) = 1
+    ORDER BY event_type
+    """,
+)
+def q_top_event_per_type(sf_dir: str):
+    ev = rd.read_parquet(
+        _pq(sf_dir, "events"), columns=["event_type", "event_id", "value"]
+    )
+    top = topk_per_key(
+        ev, ["event_type"], [("value", "descending"), ("event_id", "descending")], k=1
+    )
+    return top.map_batches(
+        lambda b: pa.table(
+            {
+                "event_type": b.column("event_type"),
+                "event_id": b.column("event_id"),
+                "value_c": _to_cents(b.column("value")),
+            }
+        ),
+        batch_format="pyarrow",
+    ).sort("event_type")
+
+
+# ---------------------------------------------------------------------------
+# CDC LWW over the events table: final state per user (J8/W1 delta shape)
+# ref: staging_sequencing_experiment_delta_create_table.sql (last-writer-wins
+#      keyed on natural key ordered by updated_at)
+# ---------------------------------------------------------------------------
+@_register(
+    "q_events_lww_state",
+    """
+    SELECT user_id, event_type AS last_type, event_id AS last_event_id,
+           CAST(ROUND(value*100) AS BIGINT) AS last_value_c
+    FROM events
+    QUALIFY row_number() OVER (
+      PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1
+    ORDER BY user_id
+    """,
+)
+def q_events_lww_state(sf_dir: str):
+    ev = rd.read_parquet(
+        _pq(sf_dir, "events"), columns=["user_id", "ts", "event_type", "event_id", "value"]
+    )
+    top = topk_per_key(
+        ev, ["user_id"], [("ts", "descending"), ("event_id", "descending")], k=1
+    )
+    return top.map_batches(
+        lambda b: pa.table(
+            {
+                "user_id": b.column("user_id"),
+                "last_type": b.column("event_type"),
+                "last_event_id": b.column("event_id"),
+                "last_value_c": _to_cents(b.column("value")),
+            }
+        ),
+        batch_format="pyarrow",
+    ).sort("user_id")
+
+
+# ---------------------------------------------------------------------------
+# D1: distinct
+# ref: sequencing_experiment_partition_select.sql SELECT DISTINCT
+# ---------------------------------------------------------------------------
+@_register(
+    "q_distinct_flag_status",
+    """
+    SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
+    ORDER BY l_returnflag, l_linestatus
+    """,
+)
+def q_distinct_flag_status(sf_dir: str):
+    ds = rd.read_parquet(
+        _pq(sf_dir, "lineitem"), columns=["l_returnflag", "l_linestatus"]
+    )
+
+    def dedup(b: pa.Table) -> pa.Table:
+        return b.group_by(["l_returnflag", "l_linestatus"]).aggregate([])
+
+    return (
+        ds.map_batches(dedup, batch_format="pyarrow")
+        .groupby(["l_returnflag", "l_linestatus"])
+        .map_groups(lambda g: g.slice(0, 1), batch_format="pyarrow")
+        .sort(["l_returnflag", "l_linestatus"])
+    )
+
+
+# ---------------------------------------------------------------------------
+# D2: union + distinct count
+# ref: snv_variant_insert.sql UNION ALL of germline+somatic loci
+# ---------------------------------------------------------------------------
+@_register(
+    "q_union_distinct_custkeys",
+    """
+    SELECT COUNT(DISTINCT custkey) AS n_keys FROM (
+      SELECT o_custkey AS custkey FROM orders
+      UNION ALL SELECT c_custkey FROM customer
+    )
+    """,
+)
+def q_union_distinct_custkeys(sf_dir: str):
+    a = rd.read_parquet(_pq(sf_dir, "orders"), columns=["o_custkey"]).map_batches(
+        lambda b: b.rename_columns(["custkey"]), batch_format="pyarrow"
+    )
+    b = rd.read_parquet(_pq(sf_dir, "customer"), columns=["c_custkey"]).map_batches(
+        lambda t: t.rename_columns(["custkey"]), batch_format="pyarrow"
+    )
+    n = len(a.union(b).unique("custkey"))
+    return pa.table({"n_keys": pa.array([n], type=pa.int64())})
+
+
+# ---------------------------------------------------------------------------
+# M7/M13: flat-map explode (CSQ-style 1→N) — tokenize documents
+# ref: consequence.py CSQ explode (mean 2.9 rows/record) + UNNEST re-group
+# ---------------------------------------------------------------------------
+@_register(
+    "q_top_tokens",
+    """
+    SELECT token, COUNT(*) AS n FROM (
+      SELECT unnest(string_split(text, ' ')) AS token FROM documents
+    ) WHERE token <> ''
+    GROUP BY token ORDER BY n DESC, token LIMIT 20
+    """,
+)
+def q_top_tokens(sf_dir: str):
+    docs = rd.read_parquet(_pq(sf_dir, "documents"), columns=["text"])
+
+    def explode_count(b: pa.Table) -> pa.Table:
+        toks = pc.list_flatten(pc.split_pattern(b.column("text"), " "))
+        toks = toks.filter(pc.not_equal(toks, ""))
+        t = pa.table({"token": toks})
+        g = t.group_by("token").aggregate([("token", "count")])
+        return g.rename_columns(["token", "n"])
+
+    counts = (
+        docs.map_batches(explode_count, batch_format="pyarrow")
+        .groupby("token")
+        .aggregate(rd.aggregate.Sum("n", alias_name="n"))
+    )
+    t = pa.Table.from_pylist(counts.take_all())
+    t = t.take(
+        pc.sort_indices(
+            t, sort_keys=[("n", "descending"), ("token", "ascending")]
+        )
+    ).slice(0, 20)
+    return t.set_column(1, pa.field("n", pa.int64()), t.column("n").cast(pa.int64()))
+
+
+# ---------------------------------------------------------------------------
+# streaming-shaped: tumbling window aggregate per user
+# (Ray Data has no event-time windows; tumbling = groupby(key, bucket) —
+#  see guide "Streaming-shaped workloads")
+# ---------------------------------------------------------------------------
+@_register(
+    "q_hourly_user_activity",
+    """
+    SELECT user_id,
+           CAST(FLOOR(epoch(ts)/3600) AS BIGINT) AS hour_bucket,
+           COUNT(*) AS n_events,
+           CAST(ROUND(SUM(value)*100) AS BIGINT) AS value_c
+    FROM events GROUP BY user_id, hour_bucket
+    ORDER BY user_id, hour_bucket
+    """,
+)
+def q_hourly_user_activity(sf_dir: str):
+    ev = rd.read_parquet(_pq(sf_dir, "events"), columns=["user_id", "ts", "value"])
+
+    def bucket(b: pa.Table) -> pa.Table:
+        us = pc.cast(b.column("ts"), pa.int64())
+        hb = pc.cast(pc.floor(pc.divide(us, 3_600_000_000)), pa.int64())
+        b = b.append_column("hour_bucket", hb)
+        return b.append_column("one", pa.array(np.ones(b.num_rows, dtype=np.int64)))
+
+    agg = partial_final_groupby(
+        ev.map_batches(bucket, batch_format="pyarrow"),
+        ["user_id", "hour_bucket"],
+        [("one", "sum", "n_events"), ("value", "sum", "value_f")],
+    )
+    return agg.map_batches(
+        lambda b: pa.table(
+            {
+                "user_id": b.column("user_id"),
+                "hour_bucket": b.column("hour_bucket"),
+                "n_events": pc.cast(b.column("n_events"), pa.int64()),
+                "value_c": _to_cents(b.column("value_f")),
+            }
+        ),
+        batch_format="pyarrow",
+    ).sort(["user_id", "hour_bucket"])
+
+
+# ---------------------------------------------------------------------------
+# A1/A3: conditional COUNT(DISTINCT) — cohort-style flags
+# ref: germline_snv_staging_variant_freq_insert.sql conditional distincts
+# ---------------------------------------------------------------------------
+@_register(
+    "q_event_type_stats",
+    """
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           COUNT(DISTINCT user_id) AS n_users,
+           COUNT(DISTINCT CASE WHEN value > 100 THEN user_id END) AS n_users_big
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+)
+def q_event_type_stats(sf_dir: str):
+    ev = rd.read_parquet(
+        _pq(sf_dir, "events"), columns=["event_type", "user_id", "value"]
+    )
+
+    def prep(b: pa.Table) -> pa.Table:
+        b = b.append_column("big", pc.greater(b.column("value"), 100.0))
+        return b.append_column("one", pa.array(np.ones(b.num_rows, dtype=np.int64)))
+
+    prepped = ev.map_batches(prep, batch_format="pyarrow")
+    distincts = count_distinct_groupby(
+        prepped,
+        ["event_type"],
+        "user_id",
+        "n_users",
+        predicate_cols={"big": "n_users_big"},
+    )
+    counts = partial_final_groupby(
+        prepped, ["event_type"], [("one", "sum", "n_events")]
+    )
+    dt = pa.Table.from_pylist(distincts.take_all())
+    ct = pa.Table.from_pylist(counts.take_all())
+    out = ct.join(dt, keys=["event_type"])
+    out = out.select(["event_type", "n_events", "n_users", "n_users_big"])
+    out = pa.table(
+        {
+            "event_type": out.column("event_type"),
+            "n_events": out.column("n_events").cast(pa.int64()),
+            "n_users": out.column("n_users").cast(pa.int64()),
+            "n_users_big": out.column("n_users_big").cast(pa.int64()),
+        }
+    )
+    return out.take(pc.sort_indices(out, sort_keys=[("event_type", "ascending")]))
+
+
+# ---------------------------------------------------------------------------
+# M12/§2.8: scalar-function projection (lower/split/if/coalesce/clamp)
+# ref: staging_exomiser_load.sql computed columns
+# ---------------------------------------------------------------------------
+@_register(
+    "q_scalar_projection",
+    """
+    SELECT c_custkey,
+           lower(c_mktsegment) AS seg_lower,
+           IF(c_acctbal < 0, 'neg', 'pos') AS acct_sign,
+           CAST(ROUND(GREATEST(LEAST(c_acctbal, 5000.0), 0.0)*100) AS BIGINT)
+             AS bal_clamped_c,
+           string_split(c_name, '#')[2] AS cust_num
+    FROM customer ORDER BY c_custkey
+    """,
+)
+def q_scalar_projection(sf_dir: str):
+    cust = rd.read_parquet(
+        _pq(sf_dir, "customer"), columns=["c_custkey", "c_name", "c_mktsegment", "c_acctbal"]
+    )
+
+    def project(b: pa.Table) -> pa.Table:
+        bal = b.column("c_acctbal")
+        clamped = pc.max_element_wise(pc.min_element_wise(bal, 5000.0), 0.0)
+        split = pc.split_pattern(b.column("c_name"), "#")
+        return pa.table(
+            {
+                "c_custkey": b.column("c_custkey"),
+                "seg_lower": pc.utf8_lower(b.column("c_mktsegment")),
+                "acct_sign": pc.if_else(pc.less(bal, 0.0), "neg", "pos"),
+                "bal_clamped_c": _to_cents(clamped),
+                "cust_num": pc.list_element(split, 1),
+            }
+        )
+
+    return cust.map_batches(project, batch_format="pyarrow").sort("c_custkey")
+
+
+# ---------------------------------------------------------------------------
+# J2/J7-lite: large-large partitioned hash join + range predicate
+# ref: exomiser composite-key join + CNV positional-containment predicate
+# ---------------------------------------------------------------------------
+@_register(
+    "q_shipped_within_60d",
+    """
+    SELECT o.o_orderpriority,
+           COUNT(*) AS n,
+           CAST(ROUND(SUM(l.l_extendedprice*(1-l.l_discount))*10000) AS BIGINT)
+             AS revenue_e4
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE l.l_shipdate >= o.o_orderdate
+      AND l.l_shipdate <= o.o_orderdate + INTERVAL 60 DAY
+    GROUP BY o.o_orderpriority ORDER BY o_orderpriority
+    """,
+)
+def q_shipped_within_60d(sf_dir: str):
+    li = rd.read_parquet(
+        _pq(sf_dir, "lineitem"),
+        columns=["l_orderkey", "l_shipdate", "l_extendedprice", "l_discount"],
+    )
+    orders = rd.read_parquet(
+        _pq(sf_dir, "orders"), columns=["o_orderkey", "o_orderdate", "o_orderpriority"]
+    )
+    joined = hash_partitioned_join(
+        li, orders, "l_orderkey", "o_orderkey", how="inner", num_buckets=16
+    )
+
+    def range_filter(b: pa.Table) -> pa.Table:
+        ship = pc.cast(b.column("l_shipdate"), pa.int64())
+        od = pc.cast(b.column("o_orderdate"), pa.int64())
+        keep = pc.and_(
+            pc.greater_equal(ship, od),
+            pc.less_equal(ship, pc.add(od, 60 * 86_400_000_000)),
+        )
+        b = b.filter(keep)
+        rev = pc.multiply(
+            b.column("l_extendedprice"), pc.subtract(1.0, b.column("l_discount"))
+        )
+        b = b.append_column("rev", rev)
+        return b.append_column("one", pa.array(np.ones(b.num_rows, dtype=np.int64)))
+
+    agg = partial_final_groupby(
+        joined.map_batches(range_filter, batch_format="pyarrow"),
+        ["o_orderpriority"],
+        [("one", "sum", "n"), ("rev", "sum", "rev_f")],
+    )
+    return agg.map_batches(
+        lambda b: pa.table(
+            {
+                "o_orderpriority": b.column("o_orderpriority"),
+                "n": pc.cast(b.column("n"), pa.int64()),
+                "revenue_e4": _to_cents(b.column("rev_f"), 10000),
+            }
+        ),
+        batch_format="pyarrow",
+    ).sort("o_orderpriority")

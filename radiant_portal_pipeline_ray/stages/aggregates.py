@@ -1,0 +1,137 @@
+"""Aggregation helpers: partial+final grouped aggregates, top-k per key.
+
+Reference analogue: the two-stage frequency pipeline — per-partition partial
+aggregates (`radiant/dags/sql/radiant/germline_snv_staging_variant_freq_insert.sql:1-60`)
+rolled up globally (`germline_snv_variant_frequency_insert.sql:1-47`) — and
+the rank-1 window pick ``ROW_NUMBER() OVER (PARTITION BY k ORDER BY s) = 1``
+(`radiant/dags/sql/radiant/exomiser_insert_partition_delta.sql:9`).
+
+Scale shape: ``partial_final_groupby`` combines INSIDE each ``map_batches``
+batch first (one output row per key per batch), so the all-to-all shuffle
+moves partial rows, not raw rows — the pre-aggregate pattern the north rule
+asks for. ``topk_per_key`` prunes to k rows per key per batch before the
+shuffle for the same reason.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+from ray.data import Dataset
+from ray.data.aggregate import Max, Min, Sum
+
+#: agg spec entry: (input_col, fn, output_name); fn ∈ sum,count,min,max
+_PARTIAL_FN = {"sum": "sum", "count": "count", "min": "min", "max": "max"}
+_FINAL_AGG = {"sum": Sum, "count": Sum, "min": Min, "max": Max}
+
+
+def partial_final_groupby(
+    ds: Dataset,
+    keys: list[str],
+    aggs: list[tuple[str, str, str]],
+    batch_size: int = 65536,
+) -> Dataset:
+    """groupby(keys) with per-batch combining. Returns one row per key."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        spec = [(c, _PARTIAL_FN[f]) for c, f, _ in aggs]
+        g = batch.group_by(keys).aggregate(spec)
+        # pyarrow names results "<col>_<fn>"; rename to the output names
+        mapping = {f"{c}_{_PARTIAL_FN[f]}": out for c, f, out in aggs}
+        return g.rename_columns([mapping.get(n, n) for n in g.column_names])
+
+    partials = ds.map_batches(partial, batch_format="pyarrow", batch_size=batch_size)
+    final_aggs = [
+        _FINAL_AGG[f](out, alias_name=out) for _, f, out in aggs
+    ]
+    return partials.groupby(keys).aggregate(*final_aggs)
+
+
+def topk_per_key_table(
+    t: pa.Table, keys: list[str], order_by: list[tuple[str, str]], k: int = 1
+) -> pa.Table:
+    """Vectorized per-key top-k inside one Arrow table."""
+    sort_keys = [(c, "ascending") for c in keys] + list(order_by)
+    t = t.take(pc.sort_indices(t, sort_keys=sort_keys)).combine_chunks()
+    if t.num_rows == 0:
+        return t
+    if len(keys) == 1:
+        kv = t.column(keys[0]).to_numpy(zero_copy_only=False)
+        new_grp = np.empty(len(kv), dtype=bool)
+        new_grp[0] = True
+        new_grp[1:] = kv[1:] != kv[:-1]
+    else:
+        cols = [pc.cast(t.column(c), pa.string()).to_numpy(zero_copy_only=False) for c in keys]
+        new_grp = np.empty(t.num_rows, dtype=bool)
+        new_grp[0] = True
+        new_grp[1:] = np.any(
+            np.stack([c[1:] != c[:-1] for c in cols]), axis=0
+        )
+    grp_id = np.cumsum(new_grp) - 1
+    # rank within group = index - first index of group
+    first_of_grp = np.flatnonzero(new_grp)
+    rank = np.arange(t.num_rows) - first_of_grp[grp_id]
+    return t.filter(pa.array(rank < k))
+
+
+def topk_per_key(
+    ds: Dataset,
+    keys: list[str],
+    order_by: list[tuple[str, str]],
+    k: int = 1,
+    batch_size: int = 65536,
+) -> Dataset:
+    """Distributed per-key top-k: per-batch prune (≤k rows per key leave any
+    batch) → groupby(keys).map_groups final pick. The prune makes the
+    shuffle O(keys·k), not O(rows)."""
+
+    def prune(batch: pa.Table) -> pa.Table:
+        return topk_per_key_table(batch, keys, order_by, k)
+
+    def final(group: pa.Table) -> pa.Table:
+        return topk_per_key_table(group, keys, order_by, k)
+
+    pruned = ds.map_batches(prune, batch_format="pyarrow", batch_size=batch_size)
+    return pruned.groupby(keys[0] if len(keys) == 1 else keys).map_groups(
+        final, batch_format="pyarrow"
+    )
+
+
+def count_distinct_groupby(
+    ds: Dataset,
+    keys: list[str],
+    distinct_col: str,
+    out_name: str,
+    predicate_cols: dict[str, str] | None = None,
+    batch_size: int = 65536,
+) -> Dataset:
+    """COUNT(DISTINCT x [WHERE pred]) GROUP BY keys — two-level exact
+    distinct: dedupe (keys, x) per batch, shuffle the dedup'd pairs, count
+    per key. ``predicate_cols`` maps extra boolean columns → output names
+    for conditional distinct counts (reference A1 shape:
+    ``COUNT(DISTINCT CASE WHEN ... THEN patient_id END)``)."""
+    predicate_cols = predicate_cols or {}
+
+    def dedup(batch: pa.Table) -> pa.Table:
+        cols = keys + [distinct_col] + list(predicate_cols.keys())
+        sub = batch.select(cols)
+        spec = [(p, "max") for p in predicate_cols]
+        g = sub.group_by(keys + [distinct_col]).aggregate(spec)
+        ren = {f"{p}_max": p for p in predicate_cols}
+        return g.rename_columns([ren.get(n, n) for n in g.column_names])
+
+    pairs = ds.map_batches(dedup, batch_format="pyarrow", batch_size=batch_size)
+
+    def per_key(group: pa.Table) -> pa.Table:
+        out = {k: [group.column(k)[0].as_py()] for k in keys}
+        vals = group.column(distinct_col)
+        out[out_name] = [len(pc.unique(pc.drop_null(vals)))]
+        for p, name in predicate_cols.items():
+            mask = pc.fill_null(group.column(p), False)
+            out[name] = [len(pc.unique(pc.drop_null(vals.filter(mask))))]
+        return pa.table(out)
+
+    return pairs.groupby(keys[0] if len(keys) == 1 else keys).map_groups(
+        per_key, batch_format="pyarrow"
+    )

@@ -48,6 +48,9 @@ META_SCHEMA = pa.schema(
         pa.field("rows_carried", pa.int64()),
         pa.field("events_in", pa.int64()),
         pa.field("next_doc_seq", pa.int64()),
+        #: JSON {domain: live_rows} for the partition's top domains — the
+        #: driver's heavy-hitter feed for deferred salting decisions
+        pa.field("top_domains", pa.string()),
     ]
 )
 
@@ -149,6 +152,31 @@ def make_merge_writer(
         del_winner_urls = winners.filter(pa.array(w_ops == "D")).column("url").to_pylist()
         rows_deleted = sum(1 for u in del_winner_urls if u in old_live_urls)
 
+        # heavy-hitter domain counts (deferred-salting feed, top 16)
+        import json as _json
+
+        from radiant_portal_pipeline_ray.functions.hashing import extract_domain
+
+        live_rows_mask = pa.array(live_mask)
+        live_urls = live.filter(live_rows_mask).column("url")
+        doms = extract_domain(live_urls)
+        dom_counts = (
+            pa.table({"d": doms})
+            .group_by("d")
+            .aggregate([("d", "count")])
+            .rename_columns(["d", "n"])
+        )
+        dc_sorted = dom_counts.take(
+            pc.sort_indices(
+                dom_counts, sort_keys=[("n", "descending"), ("d", "ascending")]
+            )
+        ).slice(0, 16)
+        top_domains = _json.dumps(
+            dict(
+                zip(dc_sorted.column("d").to_pylist(), dc_sorted.column("n").to_pylist())
+            )
+        )
+
         # project to the snapshot schema (drops op) and write staged files
         cols = [live.column(f.name).cast(f.type) for f in snapshot_schema]
         out = pa.Table.from_arrays(cols, schema=snapshot_schema)
@@ -176,6 +204,7 @@ def make_merge_writer(
                 "rows_carried": [rows_carried],
                 "events_in": [events_in],
                 "next_doc_seq": [seq0 + n_new],
+                "top_domains": [top_domains],
             },
             schema=META_SCHEMA,
         )

@@ -1,0 +1,120 @@
+"""Multimodal (image/audio/video) stages: opaque ``binary`` payload columns
+with typed metadata, processed by actor-pool ``map_batches`` stages.
+
+The decode kernels themselves are STUBBED (this container ships no
+image/audio codecs — Pillow/ffmpeg/torchaudio are absent); the Ray-side
+plumbing is real and tested: schema contracts, batch sizing for wide binary
+rows, actor signatures, and output layout. Swap ``_decode_stub`` for a real
+codec by subclassing and overriding one method.
+
+Design notes for 100 TB payloads:
+- keep these stages in ``batch_format="pyarrow"`` (binary columns do not
+  round-trip pandas cleanly) with SMALL ``batch_size`` (payload × batch ×
+  concurrency must fit the worker heap — guide "Memory-aware"),
+- decode once, emit compact features, DROP the payload column before any
+  shuffle (project-before-shuffle, same rule as dropping ``html`` early).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+
+#: schema contract for a media table
+MEDIA_SCHEMA = pa.schema(
+    [
+        pa.field("media_id", pa.int64()),
+        pa.field("payload", pa.binary()),
+        pa.field("mime", pa.string()),
+        pa.field("width", pa.int32()),
+        pa.field("height", pa.int32()),
+    ]
+)
+
+FEATURE_DIM = 16
+
+
+class DecodeError(NotImplementedError):
+    pass
+
+
+class ImageFeatureStage:
+    """Actor-pool stage: payload binary → fixed-dim feature vector.
+
+    ``strict=True`` raises ``DecodeError`` (clearly-marked stub boundary);
+    the default deterministic fake derives features from a blake2b digest of
+    the payload so tests exercise real Arrow plumbing end-to-end.
+    """
+
+    def __init__(self, strict: bool = False, dim: int = FEATURE_DIM):
+        self.strict = strict
+        self.dim = dim
+        # real implementations load their model/codec HERE, once per actor
+
+    def _decode_stub(self, payload: bytes) -> np.ndarray:
+        if self.strict:
+            raise DecodeError(
+                "image decode requires a codec not present in this environment; "
+                "override ImageFeatureStage._decode_stub with a real decoder"
+            )
+        digest = hashlib.blake2b(payload, digest_size=self.dim).digest()
+        return (np.frombuffer(digest, dtype=np.uint8).astype(np.float32) - 127.5) / 128.0
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        feats = []
+        for payload in batch.column("payload").to_pylist():
+            feats.append(
+                None if payload is None else self._decode_stub(payload).tolist()
+            )
+        out = batch.drop_columns(["payload"])  # project before any shuffle
+        return out.append_column(
+            pa.field("features", pa.list_(pa.float32())),
+            pa.array(feats, type=pa.list_(pa.float32())),
+        )
+
+
+class FrameSampleStage:
+    """Video-shaped stub: emit one row per sampled frame offset (flat-map
+    1→N, CSQ-explode shape). Frame payload decode is stubbed; offsets and
+    row-explosion plumbing are real."""
+
+    def __init__(self, every_n_bytes: int = 1024, max_frames: int = 8):
+        self.every = every_n_bytes
+        self.max_frames = max_frames
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, frame_no, offsets = [], [], []
+        mids = batch.column("media_id").to_pylist()
+        for i, payload in enumerate(batch.column("payload").to_pylist()):
+            if payload is None:
+                continue
+            n = min(self.max_frames, max(1, len(payload) // self.every))
+            for f in range(n):
+                ids.append(mids[i])
+                frame_no.append(f)
+                offsets.append(f * self.every)
+        return pa.table(
+            {
+                "media_id": pa.array(ids, type=pa.int64()),
+                "frame_no": pa.array(frame_no, type=pa.int32()),
+                "byte_offset": pa.array(offsets, type=pa.int64()),
+            }
+        )
+
+
+def synth_media_table(n: int, seed: int = 3) -> pa.Table:
+    """Deterministic fake media table for tests/benchmarks."""
+    rng = np.random.default_rng(seed)
+    payloads = [rng.integers(0, 256, size=int(s), dtype=np.uint8).tobytes()
+                for s in rng.integers(512, 8192, size=n)]
+    return pa.table(
+        {
+            "media_id": pa.array(range(n), type=pa.int64()),
+            "payload": pa.array(payloads, type=pa.binary()),
+            "mime": pa.array(["image/fake"] * n),
+            "width": pa.array(rng.integers(16, 256, n).astype(np.int32)),
+            "height": pa.array(rng.integers(16, 256, n).astype(np.int32)),
+        }
+    )

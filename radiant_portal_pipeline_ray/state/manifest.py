@@ -89,6 +89,11 @@ class Manifest:
     schema: pa.Schema | None
     partitions: dict[int, PartitionState] = dc_field(default_factory=dict)
     salt_map: dict[str, list[int]] = dc_field(default_factory=dict)
+    #: domains salted at THIS commit whose historical rows still live in
+    #: their old partitions; the next apply must rewrite those partitions so
+    #: rows follow the new routing (deferred migration — keeps salting
+    #: decisions off the apply hot path).
+    pending_migrations: dict[str, list[int]] = dc_field(default_factory=dict)
     next_part: int = 0
     committed_at: float = 0.0
     metrics: dict = dc_field(default_factory=dict)
@@ -110,6 +115,7 @@ class Manifest:
             "schema": schema_summary(self.schema) if self.schema else [],
             "partitions": {str(p): st.to_json() for p, st in self.partitions.items()},
             "salt_map": self.salt_map,
+            "pending_migrations": self.pending_migrations,
             "next_part": self.next_part,
             "committed_at": self.committed_at,
             "metrics": self.metrics,
@@ -127,6 +133,9 @@ class Manifest:
                 for p, st in d["partitions"].items()
             },
             salt_map={k: list(v) for k, v in d.get("salt_map", {}).items()},
+            pending_migrations={
+                k: list(v) for k, v in d.get("pending_migrations", {}).items()
+            },
             next_part=d.get("next_part", 0),
             committed_at=d.get("committed_at", 0.0),
             metrics=d.get("metrics", {}),

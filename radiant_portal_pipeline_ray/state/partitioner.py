@@ -42,15 +42,16 @@ class Partitioner:
 
         return stable_hash64(domain) % self.n_parts
 
-    def observe_delta_counts(self, domain_counts: dict[str, int]) -> list[SaltDecision]:
-        """Fold the delta's per-domain event counts into the heavy-hitter
-        state and (re)salt any domain whose cumulative volume crosses the
-        threshold. Returns the migrations performed this run (old parts must
-        be rewritten so historical rows follow the new routing)."""
+    def observe_domain_rows(self, domain_counts: dict[str, int]) -> list[SaltDecision]:
+        """Fold observed LIVE row counts per domain (heavy-hitter feed from
+        the merge metadata) into tracking state, and (re)salt any domain
+        whose live volume crosses the threshold. Counts are absolute
+        observations, merged monotonically (max). Returns decisions; the
+        caller records them as pending migrations executed next apply."""
         decisions: list[SaltDecision] = []
         track_floor = max(1, self.salt_threshold_rows // 8)
         for d, c in domain_counts.items():
-            cum = self.hot_counts.get(d, 0) + int(c)
+            cum = max(self.hot_counts.get(d, 0), int(c))
             if cum >= track_floor or d in self.hot_counts:
                 self.hot_counts[d] = cum
             if cum < self.salt_threshold_rows:

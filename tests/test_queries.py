@@ -1,0 +1,77 @@
+"""Mirror of the driver's correctness gate: run every registered query at
+sf0.001 and compare row-count + column names + values against its DuckDB
+oracle (order-insensitive)."""
+
+import duckdb
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+SF_DIR = "/root/testdata/sf0.001"
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents "
+    "embeddings"
+).split()
+
+
+_CON = None
+
+
+def _oracle_con():
+    global _CON
+    if _CON is None:
+        _CON = duckdb.connect()
+        for t in TABLES:
+            _CON.sql(
+                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
+            )
+    return _CON
+
+
+def _to_pandas(obj) -> pd.DataFrame:
+    if isinstance(obj, pd.DataFrame):
+        return obj
+    if isinstance(obj, pa.Table):
+        return obj.to_pandas()
+    return obj.to_pandas()  # ray Dataset
+
+
+def _canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)]
+    df = df.sort_values(by=list(df.columns)).reset_index(drop=True)
+    return df
+
+
+def _registry():
+    import __ray_entry__ as e
+
+    return e._registry()
+
+
+NAMES = sorted(_registry().keys())
+
+
+@pytest.mark.parametrize("name", NAMES)
+def test_query_matches_oracle(ray_session, name):
+    fn, sql = _registry()[name]
+    got = _canon(_to_pandas(fn(SF_DIR)))
+    if sql is None:
+        assert len(got) >= 0  # rows-only check for non-SQL-expressible ops
+        return
+    want = _canon(_oracle_con().sql(sql).df())
+    assert list(got.columns) == list(want.columns), (
+        got.columns,
+        want.columns,
+    )
+    assert len(got) == len(want), f"{name}: {len(got)} vs {len(want)}"
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_entry_smoke(ray_session):
+    import __ray_entry__ as e
+
+    ds = e.entry()
+    n = ds.count()
+    assert n > 0
+    cols = [f.name for f in ds.schema().base_schema]
+    assert {"url", "warc_ts", "html", "text", "lang"} <= set(cols)
