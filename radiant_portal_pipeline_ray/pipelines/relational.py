@@ -561,6 +561,95 @@ def q_scalar_projection(sf_dir: str):
 
 
 # ---------------------------------------------------------------------------
+# J7: interval-overlap range join (per-group sorted sweep) — orders whose
+# 90-day windows overlap, grouped by customer
+# ref: germline_cnv_occurrence_insert_partition_delta.sql cnv ⋈ cytoband
+#      `c.start<=o.end AND c.end>=o.start` per chromosome-partition
+# ---------------------------------------------------------------------------
+@_register(
+    "q_order_overlap_windows",
+    """
+    SELECT a.o_orderkey, COUNT(*) AS n_overlaps
+    FROM orders a JOIN orders b
+      ON a.o_custkey = b.o_custkey
+     AND b.o_orderdate <= a.o_orderdate + INTERVAL 90 DAY
+     AND b.o_orderdate + INTERVAL 90 DAY >= a.o_orderdate
+    GROUP BY a.o_orderkey ORDER BY a.o_orderkey
+    """,
+)
+def q_order_overlap_windows(sf_dir: str):
+    orders = rd.read_parquet(
+        _pq(sf_dir, "orders"), columns=["o_orderkey", "o_custkey", "o_orderdate"]
+    )
+    win = 90 * 86_400_000_000  # 90 days in µs
+
+    def per_customer(g: pa.Table) -> pa.Table:
+        g = g.combine_chunks()
+        starts = pc.cast(g.column("o_orderdate"), pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        order = np.argsort(starts, kind="stable")
+        s = starts[order]
+        e = s + win
+        keys = g.column("o_orderkey").to_numpy(zero_copy_only=False)[order]
+        # interval i overlaps j ⇔ s[j] <= e[i] and e[j] >= s[i];
+        # with sorted starts: count j with s[j] <= e[i] minus j with e[j] < s[i]
+        hi = np.searchsorted(s, e, side="right")
+        lo = np.searchsorted(np.sort(e), s, side="left")
+        n = hi - lo
+        out = pa.table(
+            {
+                "o_orderkey": pa.array(keys, type=pa.int64()),
+                "n_overlaps": pa.array(n, type=pa.int64()),
+            }
+        )
+        return out
+
+    return (
+        orders.groupby("o_custkey")
+        .map_groups(per_customer, batch_format="pyarrow")
+        .sort("o_orderkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# A6: array_agg of distinct values per group
+# ref: snv_staging_variant_insert.sql array_remove(array_unique_agg(code))
+# ---------------------------------------------------------------------------
+@_register(
+    "q_nation_segments",
+    """
+    SELECT c_nationkey,
+           array_to_string(list_sort(list(DISTINCT c_mktsegment)), ',') AS segments,
+           COUNT(*) AS n_customers
+    FROM customer GROUP BY c_nationkey ORDER BY c_nationkey
+    """,
+)
+def q_nation_segments(sf_dir: str):
+    cust = rd.read_parquet(
+        _pq(sf_dir, "customer"), columns=["c_nationkey", "c_mktsegment"]
+    )
+
+    def agg(g: pa.Table) -> pa.Table:
+        segs = sorted(set(g.column("c_mktsegment").to_pylist()))
+        return pa.table(
+            {
+                "c_nationkey": pa.array(
+                    [g.column("c_nationkey")[0].as_py()], type=pa.int32()
+                ),
+                "segments": pa.array([",".join(segs)], type=pa.string()),
+                "n_customers": pa.array([g.num_rows], type=pa.int64()),
+            }
+        )
+
+    return (
+        cust.groupby("c_nationkey")
+        .map_groups(agg, batch_format="pyarrow")
+        .sort("c_nationkey")
+    )
+
+
+# ---------------------------------------------------------------------------
 # J2/J7-lite: large-large partitioned hash join + range predicate
 # ref: exomiser composite-key join + CNV positional-containment predicate
 # ---------------------------------------------------------------------------

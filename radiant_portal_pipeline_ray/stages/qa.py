@@ -1,0 +1,173 @@
+"""Data-QA checks as a pipeline stage (dbt-test analogue).
+
+Reference analogue: the dbt data-quality suite run post-import — generic
+macros not-empty / not-all-null / unique / in-range-by-column-pattern /
+cross-table exclusivity (`radiant/data_qa/macros/test_should_be_within_range.sql:1-38`,
+`radiant/data_qa/tests/germline_snv_occurrence__validate_exclusive_with_somatic.sql:1-14`,
+run from the DAG `radiant/dags/data_integrity_starrocks.py:141-185`).
+
+Each check is a streaming aggregate over a Dataset (never a driver-side
+materialization); the suite returns a report dict the engine persists next
+to the manifest, and ``CdcEngine.apply(..)`` runs it post-commit when
+``EngineConfig.extra['run_qa']`` is set. Failures are data, not exceptions
+— the caller decides to gate (same known-failure-tolerance shape as the
+reference's Jira-tagged dbt failures).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Callable
+
+import pyarrow as pa
+import pyarrow.compute as pc
+from ray.data import Dataset
+
+
+@dataclass
+class QACheck:
+    name: str
+    #: batch → partial counters dict; partials are summed
+    partial: Callable[[pa.Table], dict]
+    #: summed counters → (ok, detail)
+    verdict: Callable[[dict], tuple[bool, str]]
+
+
+def _sum_dicts(dicts):
+    out: dict = {}
+    for d in dicts:
+        for k, v in d.items():
+            out[k] = out.get(k, 0) + v
+    return out
+
+
+def run_checks(ds: Dataset, checks: list[QACheck]) -> dict:
+    """One streaming pass computes every check's partial counters."""
+
+    def partials(batch: pa.Table) -> pa.Table:
+        rows = []
+        for c in checks:
+            d = c.partial(batch)
+            for k, v in d.items():
+                rows.append({"check": c.name, "key": k, "val": int(v)})
+        return pa.Table.from_pylist(
+            rows or [{"check": "_none", "key": "_", "val": 0}]
+        )
+
+    agg = (
+        ds.map_batches(partials, batch_format="pyarrow")
+        .groupby(["check", "key"])
+        .sum("val")
+    )
+    counters: dict[str, dict] = {}
+    for r in agg.take_all():
+        counters.setdefault(r["check"], {})[r["key"]] = r["sum(val)"]
+
+    report = {"passed": True, "checks": {}}
+    for c in checks:
+        ok, detail = c.verdict(counters.get(c.name, {}))
+        report["checks"][c.name] = {"ok": ok, "detail": detail}
+        report["passed"] = report["passed"] and ok
+    return report
+
+
+# ---- generic check builders (dbt-macro analogues) -------------------------
+
+def not_empty() -> QACheck:
+    return QACheck(
+        "not_empty",
+        lambda b: {"rows": b.num_rows},
+        lambda c: (c.get("rows", 0) > 0, f"rows={c.get('rows', 0)}"),
+    )
+
+
+def no_nulls(col: str) -> QACheck:
+    return QACheck(
+        f"no_nulls:{col}",
+        lambda b: {"nulls": b.column(col).null_count},
+        lambda c: (c.get("nulls", 0) == 0, f"nulls={c.get('nulls', 0)}"),
+    )
+
+
+def unique_key(col: str) -> QACheck:
+    """Exact uniqueness via per-batch dedup + global distinct-vs-total
+    comparison. Counts duplicates within batches; cross-batch duplicates are
+    caught by the companion ``unique_key_global`` (groupby) when the column
+    may repeat across blocks — for snapshot partitions sorted by key, batch
+    boundaries make this exact already."""
+
+    def partial(b: pa.Table) -> dict:
+        col_arr = b.column(col)
+        return {
+            "rows": b.num_rows,
+            "distinct_in_batch": len(pc.unique(col_arr)),
+        }
+
+    return QACheck(
+        f"unique_in_batch:{col}",
+        partial,
+        lambda c: (
+            c.get("rows", 0) == c.get("distinct_in_batch", 0),
+            f"rows={c.get('rows', 0)} distinct={c.get('distinct_in_batch', 0)}",
+        ),
+    )
+
+
+def in_range(col: str, lo: float, hi: float) -> QACheck:
+    def partial(b: pa.Table) -> dict:
+        v = b.column(col)
+        bad = pc.sum(
+            pc.cast(
+                pc.or_(pc.less(v, lo), pc.greater(v, hi)), pa.int64()
+            )
+        ).as_py() or 0
+        return {"out_of_range": bad}
+
+    return QACheck(
+        f"in_range:{col}",
+        partial,
+        lambda c: (
+            c.get("out_of_range", 0) == 0,
+            f"out_of_range={c.get('out_of_range', 0)}",
+        ),
+    )
+
+
+def accepted_values(col: str, allowed: list) -> QACheck:
+    allowed_arr = pa.array(allowed)
+
+    def partial(b: pa.Table) -> dict:
+        v = pc.drop_null(b.column(col))
+        bad = len(v) - pc.sum(
+            pc.cast(pc.is_in(v, value_set=allowed_arr), pa.int64())
+        ).as_py()
+        return {"bad": int(bad)}
+
+    return QACheck(
+        f"accepted_values:{col}",
+        partial,
+        lambda c: (c.get("bad", 0) == 0, f"unexpected={c.get('bad', 0)}"),
+    )
+
+
+def unique_key_global(ds: Dataset, col: str) -> dict:
+    """Exact global uniqueness: groupby(col) count, max must be 1.
+    A separate shuffle — run on demand, not in the streaming pass."""
+    dup = (
+        ds.groupby(col)
+        .count()
+        .filter(lambda r: r["count()"] > 1)
+        .count()
+    )
+    return {"ok": dup == 0, "detail": f"duplicate_keys={dup}"}
+
+
+def snapshot_checks() -> list[QACheck]:
+    """Default post-commit suite for the CDC snapshot."""
+    return [
+        not_empty(),
+        no_nulls("url"),
+        no_nulls("doc_id"),
+        no_nulls("part"),
+        in_range("lsn", 0, 2**62),
+    ]

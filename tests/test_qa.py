@@ -1,0 +1,84 @@
+import pyarrow as pa
+
+from radiant_portal_pipeline_ray.stages.qa import (
+    accepted_values,
+    in_range,
+    no_nulls,
+    not_empty,
+    run_checks,
+    snapshot_checks,
+    unique_key_global,
+)
+
+
+def test_qa_suite_passes_on_clean_data(ray_session):
+    import ray.data as rd
+
+    t = pa.table(
+        {
+            "url": ["a", "b", "c"],
+            "doc_id": [1, 2, 3],
+            "part": [0, 0, 1],
+            "lsn": [5, 6, 7],
+        }
+    )
+    rep = run_checks(rd.from_arrow(t), snapshot_checks())
+    assert rep["passed"], rep
+
+
+def test_qa_detects_violations(ray_session):
+    import ray.data as rd
+
+    t = pa.table(
+        {
+            "url": ["a", None],
+            "val": [0.5, 1.5],
+            "flag": ["X", "Y"],
+        }
+    )
+    ds = rd.from_arrow(t)
+    rep = run_checks(
+        ds,
+        [
+            not_empty(),
+            no_nulls("url"),
+            in_range("val", 0.0, 1.0),
+            accepted_values("flag", ["X"]),
+        ],
+    )
+    assert not rep["passed"]
+    assert rep["checks"]["not_empty"]["ok"]
+    assert not rep["checks"]["no_nulls:url"]["ok"]
+    assert not rep["checks"]["in_range:val"]["ok"]
+    assert not rep["checks"]["accepted_values:flag"]["ok"]
+
+
+def test_unique_key_global(ray_session):
+    import ray.data as rd
+
+    ds = rd.from_arrow(pa.table({"k": [1, 2, 2, 3]}))
+    rep = unique_key_global(ds, "k")
+    assert not rep["ok"]
+    ds2 = rd.from_arrow(pa.table({"k": [1, 2, 3]}))
+    assert unique_key_global(ds2, "k")["ok"]
+
+
+def test_qa_post_commit_on_lake(ray_session, tmp_path):
+    """QA suite over a real committed snapshot (reference: dbt run from the
+    DAG after import)."""
+    from radiant_portal_pipeline_ray.config import EngineConfig
+    from radiant_portal_pipeline_ray.pipelines.apply import CdcEngine
+    from radiant_portal_pipeline_ray.sources.generator import (
+        ChangelogSpec,
+        generate_changelog,
+    )
+
+    paths = generate_changelog(
+        str(tmp_path / "cl"), ChangelogSpec(n_urls=300, n_events=1500, n_batches=2)
+    )
+    eng = CdcEngine(str(tmp_path / "lake"), EngineConfig(n_parts=4))
+    eng.apply(paths)
+    snap = eng.read_snapshot()
+    rep = run_checks(snap, snapshot_checks())
+    assert rep["passed"], rep
+    assert unique_key_global(snap, "url")["ok"]
