@@ -51,6 +51,18 @@ def _registry() -> dict[str, tuple]:
         reg.update(similarity.QUERIES)
     except ImportError:
         pass
+    try:
+        from radiant_portal_pipeline_ray.pipelines import sourceload
+
+        reg.update(sourceload.QUERIES)
+    except ImportError:
+        pass
+    try:
+        from radiant_portal_pipeline_ray.pipelines import multimodal_q
+
+        reg.update(multimodal_q.QUERIES)
+    except ImportError:
+        pass
     return reg
 
 

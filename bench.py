@@ -47,8 +47,13 @@ def _bench_spec(sf_dir: str):
         n_urls=max(2_000, n_events // 10),
         n_events=n_events,
         n_domains=max(50, n_events // 4_000),
-        n_batches=8,
+        # many small files per round: a real binlog tail is thousands of
+        # files, so per-round read parallelism = files, not 1-2 big blobs
+        n_batches=32,
         seed=42,
+        # Common-Crawl-ish page sizes (~3KB html): per-event extract/merge
+        # compute and shuffle bytes dominate task overhead, as at 10^10 scale
+        html_repeat=16,
     )
 
 
@@ -101,12 +106,22 @@ def run_bench() -> dict:
     lake = f"/tmp/graft_bench/lake-{_num_cpus()}"
     shutil.rmtree(lake, ignore_errors=True)
     n_parts = max(16, _num_cpus())
-    eng = CdcEngine(lake, EngineConfig(n_parts=n_parts))
+    eng = CdcEngine(
+        lake,
+        EngineConfig(
+            n_parts=n_parts,
+            # salt hot domains at bench scale so the zipf-head partition
+            # can't become a merge straggler (north rule axes A+B)
+            salt_threshold_rows=20_000,
+            salt_target_rows=8_000,
+        ),
+    )
 
     t0 = time.time()
     rounds = []
-    for i in range(0, len(paths), 2):  # 4 incremental rounds of 2 batches
-        r = eng.apply(paths[i : i + 2])
+    step = max(1, len(paths) // 4)
+    for i in range(0, len(paths), step):  # 4 incremental rounds
+        r = eng.apply(paths[i : i + step])
         rounds.append(round(r["wall_s"], 3))
     replay_sec = time.time() - t0
     events_per_sec = spec.n_events / replay_sec

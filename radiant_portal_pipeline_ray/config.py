@@ -53,6 +53,12 @@ class EngineConfig:
     #: batch size for normalize map_batches; html payloads are ~KB so this
     #: keeps batches in the tens-of-MB range.
     normalize_batch_size: int = 8192
+    #: blocks for the changelog/snapshot reads feeding the apply. ``None``
+    #: derives 2 × cluster CPUs at apply time. Without this, a round that
+    #: tails a couple of changelog files gets a couple of read tasks and the
+    #: CPU-heavy normalize stage runs at parallelism ≈ n_files — it can't
+    #: use the cluster. Splitting happens at parquet row-group granularity.
+    read_parallelism: int | None = None
 
     # --- optional early duplicate-event suppression (best-effort actor
     # stage; correctness never depends on it — the LWW merge dedups) -----

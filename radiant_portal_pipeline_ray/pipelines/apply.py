@@ -72,6 +72,18 @@ class CdcEngine:
     def __init__(self, lake_root: str, config: EngineConfig | None = None):
         self.lake = Lake(lake_root)
         self.cfg = config or EngineConfig()
+        #: when True, stash ``Dataset.stats()`` of the last apply's normalize
+        #: and merge stages on the engine (perf debugging only)
+        self.debug_stats = False
+        self.last_stats: dict[str, str] = {}
+
+    def _read_parallelism(self) -> int:
+        if self.cfg.read_parallelism:
+            return self.cfg.read_parallelism
+        import ray
+
+        cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+        return 2 * cpus
 
     # ------------------------------------------------------------------
     def apply(self, changelog: str | list[str]) -> dict:
@@ -94,6 +106,15 @@ class CdcEngine:
 
         if not paths:
             return _noop_report(0)
+        timings: dict[str, float] = {}
+        t_mark = time.time()
+
+        def _lap(name: str) -> None:
+            nonlocal t_mark
+            now = time.time()
+            timings[name] = round(now - t_mark, 3)
+            t_mark = now
+
         watermarks = current.watermarks() if current else {}
         min_wm = current.min_watermark() if current else -1
 
@@ -142,16 +163,26 @@ class CdcEngine:
             watermarks,
             partitioner.max_part_id(),
         )
+        # read-splitting: without an explicit block count, a 2-file tail
+        # round yields ~2 read tasks and normalize can't use the cluster
+        # (splits land on parquet row-group boundaries)
+        read_blocks = self._read_parallelism()
         delta = None
         for _, (sch, group_paths) in sorted(file_schemas.items()):
-            ds = rd.read_parquet(group_paths, filter=filt).map_batches(
+            ds = rd.read_parquet(
+                group_paths, filter=filt, override_num_blocks=read_blocks
+            ).map_batches(
                 normalizer,
                 batch_format="pyarrow",
                 batch_size=cfg.normalize_batch_size,
             )
             delta = ds if delta is None else delta.union(ds)
+        _lap("plan")
         delta = delta.materialize()
         events_seen = delta.count()
+        if self.debug_stats:
+            self.last_stats["normalize"] = delta.stats()
+        _lap("normalize")
 
         # ---- changed partitions: parts present in the delta + pending
         # migrations from a salting decision committed last round -----------
@@ -177,7 +208,9 @@ class CdcEngine:
             caster = make_snapshot_caster(
                 union_schema, cfg.n_parts, partitioner.salt_map
             )
-            old_ds = rd.read_parquet(old_files).map_batches(
+            old_ds = rd.read_parquet(
+                old_files, override_num_blocks=read_blocks
+            ).map_batches(
                 caster, batch_format="pyarrow", batch_size=cfg.normalize_batch_size
             )
             combined = old_ds if events_seen == 0 else delta.union(old_ds)
@@ -197,11 +230,11 @@ class CdcEngine:
             target_rows_per_file=cfg.target_rows_per_file,
             compression=cfg.compression,
         )
-        meta_rows = (
-            combined.groupby("part")
-            .map_groups(writer, batch_format="pyarrow")
-            .take_all()
-        )
+        meta_ds = combined.groupby("part").map_groups(writer, batch_format="pyarrow")
+        meta_rows = meta_ds.take_all()
+        if self.debug_stats:
+            self.last_stats["merge"] = meta_ds.stats()
+        _lap("merge")
         if not meta_rows:
             return _noop_report(events_seen)
 
@@ -231,12 +264,22 @@ class CdcEngine:
             migrated_empty,
             pending_next,
         )
+        _lap("commit")
+        # Ray Data plan objects are reference cycles; without an explicit
+        # collect the dropped per-round Datasets pin their materialized
+        # blocks in the object store across rounds (measured: +0.5 GB and
+        # 2x slower apply by round 4 of a replay). ~10 ms, once per round.
+        del delta, combined, meta_ds
+        import gc
+
+        gc.collect()
         report.update(
             {
                 "events_in": events_seen,
                 "parts_changed": len(meta_rows),
                 "salted_domains": [d.domain for d in decisions],
                 "migrated_domains": sorted(pending.keys()),
+                "timings": timings,
                 "wall_s": time.time() - t0,
             }
         )

@@ -54,6 +54,15 @@ class ChangelogSpec:
     ts_step_s: int = 60
     ts_jitter_s: int = 3600 * 24
     seed: int = 42
+    #: parquet row-group size — KEEP SMALL relative to rows/file so
+    #: ``read_parquet`` can split one file into many read tasks (Ray splits
+    #: at row-group granularity; one giant row group caps read parallelism
+    #: at n_files no matter how many CPUs the cluster has).
+    row_group_size: int = 16_384
+    #: body repetition factor — raise to make html payloads Common-Crawl-ish
+    #: KB-scale (bench realism: per-row compute and shuffle bytes dominate
+    #: task overhead) without slowing generation.
+    html_repeat: int = 1
     langs: tuple = ("en", "de", "fr", "es", "zh", "ru")
     lang_weights: tuple = (0.60, 0.10, 0.10, 0.08, 0.07, 0.05)
     #: when True, batches evolve schema: B adds status_code:int32,
@@ -127,6 +136,8 @@ def generate_changelog(out_dir: str, spec: ChangelogSpec) -> list[str]:
             body = " ".join(
                 _WORDS[i] for i in wrng.integers(0, len(_WORDS), size=int(n_words[k]))
             )
+            if spec.html_repeat > 1:
+                body = " ".join([body] * spec.html_repeat)
             amp = " fish &amp; chips" if word_seed[k] % 7 == 0 else ""
             u = urls[target[k]]
             htmls.append(
@@ -181,7 +192,9 @@ def generate_changelog(out_dir: str, spec: ChangelogSpec) -> list[str]:
             t = pa.concat_tables([t, t.take(pa.array(dup_idx))])
 
         path = os.path.join(out_dir, f"batch-{b:04d}.parquet")
-        pq.write_table(t, path, compression="zstd")
+        pq.write_table(
+            t, path, compression="zstd", row_group_size=spec.row_group_size
+        )
         paths.append(path)
     return paths
 

@@ -142,15 +142,14 @@ def make_merge_writer(
         n_tombstones = int(deleted_flag.sum())
         rows_carried = int(((live_ops == "S") & live_mask).sum())
         rows_upserted = int(((live_ops == "I") | (live_ops == "U")).sum())
-        old_live_urls = set(
-            state_rows.filter(
-                pc.equal(pc.fill_null(state_rows.column("deleted"), False), False)
-            )
-            .column("url")
-            .to_pylist()
+        old_live_urls = state_rows.filter(
+            pc.equal(pc.fill_null(state_rows.column("deleted"), False), False)
+        ).column("url")
+        del_winner_urls = winners.filter(pa.array(w_ops == "D")).column("url")
+        hit = pc.index_in(
+            del_winner_urls.combine_chunks(), value_set=old_live_urls.combine_chunks()
         )
-        del_winner_urls = winners.filter(pa.array(w_ops == "D")).column("url").to_pylist()
-        rows_deleted = sum(1 for u in del_winner_urls if u in old_live_urls)
+        rows_deleted = int(pc.sum(pc.is_valid(hit)).as_py() or 0)
 
         # heavy-hitter domain counts (deferred-salting feed, top 16)
         import json as _json

@@ -38,7 +38,16 @@ def _to_pandas(obj) -> pd.DataFrame:
 
 def _canon(df: pd.DataFrame) -> pd.DataFrame:
     df = df[sorted(df.columns)]
-    df = df.sort_values(by=list(df.columns)).reset_index(drop=True)
+    import numpy as np
+
+    sortable = [
+        c
+        for c in df.columns
+        if not df[c]
+        .map(lambda v: isinstance(v, (list, tuple, np.ndarray, dict)))
+        .any()
+    ]
+    df = df.sort_values(by=sortable or list(df.columns)).reset_index(drop=True)
     return df
 
 
