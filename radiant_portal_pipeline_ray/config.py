@@ -42,11 +42,11 @@ class EngineConfig:
     commit_retries: int = 20
 
     # --- doc-id allocation ----------------------------------------------
-    #: "merge": deterministic in-merge allocation from per-partition counters
-    #: persisted in the manifest (no coordination — ids are
-    #: ``part << doc_id_part_shift | seq``).
-    #: "actors": per-partition hash-index actors (state/id_index.py).
-    id_mode: str = "merge"
+    #: the apply pipeline allocates doc_ids deterministically inside the
+    #: merge from per-partition counters persisted in the manifest (no
+    #: coordination — ids are ``part << doc_id_part_shift | seq``). The
+    #: per-partition hash-index actor pool (state/id_index.py) is the
+    #: alternative for pipelines whose keyed state must outlive a shuffle.
     doc_id_part_shift: int = 40
 
     # --- ray data knobs -------------------------------------------------
@@ -59,6 +59,11 @@ class EngineConfig:
     #: CPU-heavy normalize stage runs at parallelism ≈ n_files — it can't
     #: use the cluster. Splitting happens at parquet row-group granularity.
     read_parallelism: int | None = None
+    #: probe changed partitions from a column-pruned (url, lsn) read instead
+    #: of materializing the normalized delta. Use when the tail is mostly
+    #: pre-watermark (resume from a long backlog); the default eager
+    #: materialization is faster when most events are fresh.
+    sparse_scout: bool = False
 
     # --- optional early duplicate-event suppression (best-effort actor
     # stage; correctness never depends on it — the LWW merge dedups) -----

@@ -67,6 +67,35 @@ def make_event_normalizer(
     return normalize
 
 
+def make_part_scout(
+    n_parts: int,
+    salt_map: dict[str, list[int]],
+    watermarks: dict[int, int],
+    max_part_id: int,
+):
+    """Changed-partition probe over a column-pruned (url, lsn) read: emits
+    the distinct partition ids that have at least one event ABOVE the
+    partition's committed watermark. KBs of I/O per changelog file, so the
+    full-payload delta plan can stay lazy (no mid-apply materialization)."""
+    wm_arr = np.full(max_part_id + 1, -1, dtype=np.int64)
+    for p, w in watermarks.items():
+        if p <= max_part_id:
+            wm_arr[p] = w
+
+    def scout(batch: pa.Table) -> pa.Table:
+        urls = batch.column("url")
+        domains = extract_domain(urls)
+        parts = assign_parts(urls, domains, n_parts, salt_map)
+        lsn = batch.column("lsn").to_numpy(zero_copy_only=False)
+        pnp = parts.to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = lsn > wm_arr[pnp]
+        return pa.table(
+            {"part": pa.array(np.unique(pnp[keep]).astype(np.int32))}
+        )
+
+    return scout
+
+
 def make_snapshot_caster(
     union_schema: pa.Schema,
     n_parts: int,
