@@ -65,9 +65,19 @@ class EngineConfig:
     #: materialization is faster when most events are fresh.
     sparse_scout: bool = False
 
-    # --- optional early duplicate-event suppression (best-effort actor
-    # stage; correctness never depends on it — the LWW merge dedups) -----
-    early_dedup: bool = False
-    early_dedup_actors: int = 2
+    # --- maintenance ----------------------------------------------------
+    #: event-time horizon for tombstone purge: a delete tombstone may be
+    #: dropped only when its warc_ts is older than (max observed warc_ts −
+    #: this lag). LWW order is (warc_ts, lsn), so a late out-of-order event
+    #: carries a NEW lsn (passes the watermark filter) but an OLD warc_ts;
+    #: without its tombstone such an event would resurrect a deleted url.
+    #: Must exceed the source's out-of-order jitter bound (FIXTURES:
+    #: ts_jitter_s = 86400); default keeps a 7-day margin.
+    tombstone_horizon_lag_s: int = 7 * 86400
+
+    #: run the post-commit QA suite (stages/qa.snapshot_checks) at the end
+    #: of every successful ``CdcEngine.apply``; the report is returned under
+    #: ``report['qa']`` and failures are data, not exceptions.
+    run_qa: bool = False
 
     extra: dict = field(default_factory=dict)

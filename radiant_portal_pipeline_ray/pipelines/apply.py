@@ -62,6 +62,14 @@ from radiant_portal_pipeline_ray.state.partitioner import Partitioner
 _INTERNAL_NAMES = {f.name for f in INTERNAL_FIELDS}
 
 
+class ConcurrentWriterConflict(Exception):
+    """A concurrent writer advanced a partition this apply merged from —
+    the staged merge output is stale (its carried-forward rows and doc-id
+    ranges were computed against an older base). Fail fast and re-run the
+    apply; silently committing would overwrite the other writer's rows and
+    could collide doc_id ranges."""
+
+
 def _resolve_paths(changelog: str | list[str]) -> list[str]:
     if isinstance(changelog, str):
         if os.path.isdir(changelog):
@@ -282,6 +290,18 @@ class CdcEngine:
             p for old_parts in pending.values() for p in old_parts
         } - {int(m["part"]) for m in meta_rows}
 
+        # ---- migration-target watermark seeding: a salt partition that
+        # received only carried rows this round must inherit its source
+        # partitions' watermark (those events are already folded into the
+        # migrated state); otherwise it commits watermark_lsn=-1 and drags
+        # min_watermark() down, forcing the next apply to re-read the whole
+        # changelog history.
+        wm_seed: dict[int, int] = {}
+        for d, old_parts in pending.items():
+            seed = max((watermarks.get(p, -1) for p in old_parts), default=-1)
+            for tp in partitioner.salt_map.get(d, []):
+                wm_seed[tp] = max(wm_seed.get(tp, -1), seed)
+
         # ---- phase 2: promote + commit (retry on version conflict) --------
         self.lake.promote_staged_files(txn_id)
         report = self._commit_with_retry(
@@ -291,6 +311,9 @@ class CdcEngine:
             meta_rows,
             migrated_empty,
             pending_next,
+            merge_base=current,
+            wm_seed=wm_seed,
+            timings=timings,
         )
         _lap("commit")
         # Ray Data plan objects are reference cycles; without an explicit
@@ -311,6 +334,13 @@ class CdcEngine:
                 "wall_s": time.time() - t0,
             }
         )
+        if self.cfg.run_qa:
+            from radiant_portal_pipeline_ray.stages.qa import (
+                run_checks,
+                snapshot_checks,
+            )
+
+            report["qa"] = run_checks(self.read_snapshot(), snapshot_checks())
         return report
 
     # ------------------------------------------------------------------
@@ -322,13 +352,43 @@ class CdcEngine:
         meta_rows: list[dict],
         migrated_empty: set[int],
         pending_next: dict[str, list[int]],
+        merge_base: Manifest | None = None,
+        wm_seed: dict[int, int] | None = None,
+        timings: dict | None = None,
     ) -> dict:
         """Rebuild-manifest-and-retry loop; analogue of the reference's
-        Iceberg commit retry (`radiant/tasks/iceberg/utils.py:73-96`)."""
+        Iceberg commit retry (`radiant/tasks/iceberg/utils.py:73-96`).
+
+        The rebuild is only valid while the merged partitions are unchanged
+        in the new base: the staged files embed carried-forward rows and
+        doc_id ranges computed from ``merge_base``. If a concurrent writer
+        advanced any of them, raise ``ConcurrentWriterConflict`` instead of
+        silently overwriting its rows (single-writer is the supported mode,
+        same as the reference's one-committer-per-part fan-in,
+        `radiant/dags/import_snv_vcf.py:47-49`)."""
+        wm_seed = wm_seed or {}
         attempt = 0
+        merged_parts = {int(m["part"]) for m in meta_rows} | set(migrated_empty)
         while True:
             attempt += 1
             base = self.lake.current_manifest()
+            base_v = base.version if base else None
+            merge_v = merge_base.version if merge_base else None
+            if base_v != merge_v:
+                for p in merged_parts:
+                    old = (
+                        merge_base.partitions.get(p) if merge_base else None
+                    ) or PartitionState()
+                    new = (base.partitions.get(p) if base else None) or PartitionState()
+                    if (old.files, old.watermark_lsn, old.next_doc_seq) != (
+                        new.files,
+                        new.watermark_lsn,
+                        new.next_doc_seq,
+                    ):
+                        raise ConcurrentWriterConflict(
+                            f"partition {p} advanced from v{merge_v} to v{base_v} "
+                            f"during apply txn {txn_id}; re-run apply"
+                        )
             parts: dict[int, PartitionState] = (
                 {p: st for p, st in base.partitions.items()} if base else {}
             )
@@ -355,7 +415,9 @@ class CdcEngine:
                     rows=int(m["rows"]),
                     tombstones=int(m["tombstones"]),
                     bytes=int(m["bytes"]),
-                    watermark_lsn=max(wm_old, int(m["max_lsn"])),
+                    watermark_lsn=max(
+                        wm_old, int(m["max_lsn"]), wm_seed.get(p, -1)
+                    ),
                     next_doc_seq=int(m["next_doc_seq"]),
                     lineage=lineage,
                 )
@@ -393,6 +455,24 @@ class CdcEngine:
                         "rows_upserted": tot_up,
                         "rows_deleted": tot_del,
                         "rows_carried": tot_car,
+                    },
+                    # per-stage rows/bytes/time (T6 tracing parity,
+                    # reference `radiant/tasks/tracing/trace.py:12-29`)
+                    "stage_metrics": {
+                        "normalize": {"events_in": tot_ev},
+                        "merge": {
+                            "rows_in": tot_ev + tot_car,
+                            "rows_out": sum(int(m["rows"]) for m in meta_rows),
+                            "tombstones": sum(
+                                int(m["tombstones"]) for m in meta_rows
+                            ),
+                            "parts": len(meta_rows),
+                        },
+                        "write": {
+                            "bytes": sum(int(m["bytes"]) for m in meta_rows),
+                            "files": sum(len(m["files"]) for m in meta_rows),
+                        },
+                        "timings_s": dict(timings or {}),
                     },
                 },
             )

@@ -13,11 +13,16 @@ PARTITION`` swap (`radiant/tasks/starrocks/operator.py:282-355`) and
 Iceberg's rewrite-data-files maintenance, re-expressed as a Ray Data
 groupby over the snapshot.
 
-Tombstone retention: a tombstone for url U at (warc_ts, lsn) may be dropped
-once no event ≤ the partition's committed watermark can still arrive —
-i.e. purging below the watermark is safe under the engine's own delivery
-contract (events are dropped at-or-below the watermark on ingest). The
-caller opts in via ``purge_tombstones=True``.
+Tombstone retention: LWW order is ``(warc_ts, lsn)`` and the ingest filter
+is on *lsn* only, so a late out-of-order event arrives with a NEW lsn
+(passes the watermark filter) but an OLD warc_ts — it must still lose to a
+retained tombstone. Purging on an lsn watermark is therefore UNSAFE. The
+safe rule is an **event-time horizon**: a tombstone may be dropped only
+when its ``warc_ts`` is older than ``max observed warc_ts −
+EngineConfig.tombstone_horizon_lag_s`` (the allowed out-of-order lag, per
+FIXTURES ``ts_jitter_s``); any future event with an even older warc_ts
+would lose the LWW sort regardless, and events inside the horizon still
+find the tombstone. The caller opts in via ``purge_tombstones=True``.
 """
 
 from __future__ import annotations
@@ -32,10 +37,16 @@ import ray.data as rd
 
 from radiant_portal_pipeline_ray.config import EngineConfig
 from radiant_portal_pipeline_ray.state.manifest import (
+    CommitConflict,
     Lake,
     Manifest,
     PartitionState,
 )
+
+
+class CompactionConflict(Exception):
+    """A concurrent writer changed a partition being compacted; the staged
+    rewrite is stale. Clean abort — re-run compact against the new state."""
 
 _META = pa.schema(
     [
@@ -48,21 +59,55 @@ _META = pa.schema(
 )
 
 
+def _max_warc_ts_us(lake: Lake, manifest: Manifest) -> int | None:
+    """Lake-wide max observed ``warc_ts`` in µs, from parquet footer column
+    statistics (metadata-only; falls back to reading the column)."""
+    best: int | None = None
+    for st in manifest.partitions.values():
+        for rel in st.files:
+            path = lake.abspath(rel)
+            md = pq.ParquetFile(path).metadata
+            try:
+                ci = md.schema.to_arrow_schema().get_field_index("warc_ts")
+            except KeyError:
+                continue
+            got = False
+            for rg in range(md.num_row_groups):
+                stats = md.row_group(rg).column(ci).statistics
+                if stats is not None and stats.has_min_max:
+                    v = stats.max
+                    if hasattr(v, "timestamp"):
+                        v = int(v.timestamp() * 1_000_000)
+                    best = v if best is None else max(best, int(v))
+                    got = True
+            if not got:
+                col = pq.read_table(path, columns=["warc_ts"]).column("warc_ts")
+                mx = pc.max(col).as_py()
+                if mx is not None:
+                    v = int(mx.timestamp() * 1_000_000)
+                    best = v if best is None else max(best, v)
+    return best
+
+
 def _make_rewriter(
     txn_id: str,
     staging_dir: str,
     schema: pa.Schema,
     target_rows_per_file: int,
     compression: str,
-    purge_tombstones: bool,
+    purge_horizon_us: int | None,
 ):
     def rewrite(group: pa.Table) -> pa.Table:
         part = group.column("part")[0].as_py()
         t = group
-        if purge_tombstones:
-            t = t.filter(
-                pc.equal(pc.fill_null(t.column("deleted"), False), False)
-            )
+        if purge_horizon_us is not None:
+            # drop only tombstones older than the event-time horizon — a
+            # late out-of-order event (new lsn, old warc_ts) inside the
+            # horizon must still lose to the retained tombstone
+            is_tomb = pc.fill_null(t.column("deleted"), False)
+            ts_us = pc.cast(t.column("warc_ts"), pa.int64())
+            purgeable = pc.and_(is_tomb, pc.less(ts_us, purge_horizon_us))
+            t = t.filter(pc.invert(purgeable))
         t = t.take(pc.sort_indices(t, sort_keys=[("url", "ascending")]))
         cols = [t.column(f.name).cast(f.type) for f in schema]
         out = pa.Table.from_arrays(cols, schema=schema)
@@ -103,7 +148,10 @@ def compact(
     when purging) into ``target_rows_per_file``-sized url-sorted files.
 
     Exactly-once like apply: staged under ``_staging/{txn}``, promoted, then
-    committed via the manifest's put-if-absent. Returns a small report.
+    committed via the manifest's put-if-absent; on a version conflict the
+    commit is retried against the new base iff the rewritten partitions are
+    untouched there, else the compaction aborts cleanly (staged files are
+    inert and reclaimed by ``gc_orphans``). Returns a small report.
     """
     cfg = config or EngineConfig()
     lake = Lake(lake_root)
@@ -120,6 +168,14 @@ def compact(
     if not todo:
         return {"noop": True, "parts_compacted": 0, "version": current.version}
 
+    purge_horizon_us = None
+    if purge_tombstones:
+        mx = _max_warc_ts_us(lake, current)
+        if mx is None:
+            purge_tombstones = False  # no event-time info → keep tombstones
+        else:
+            purge_horizon_us = mx - cfg.tombstone_horizon_lag_s * 1_000_000
+
     txn_id = lake.new_txn_id()
     staging = lake.staging_dir(txn_id)
     files = [lake.abspath(f) for st in todo.values() for f in st.files]
@@ -129,7 +185,7 @@ def compact(
         current.schema,
         cfg.target_rows_per_file,
         cfg.compression,
-        purge_tombstones,
+        purge_horizon_us,
     )
     meta_rows = (
         rd.read_parquet(files)
@@ -139,47 +195,70 @@ def compact(
     )
     lake.promote_staged_files(txn_id)
 
-    now = time.time()
-    parts = dict(current.partitions)
-    for m in meta_rows:
-        p = int(m["part"])
-        old = parts[p]
-        lineage = list(old.lineage)
-        lineage.append(
-            {
-                "txn_id": txn_id,
-                "ts": now,
-                "compacted": True,
-                "purged_tombstones": purge_tombstones,
-                "files_before": len(old.files),
-                "files_after": len(m["files"]),
-            }
+    attempt = 0
+    base = current
+    while True:
+        attempt += 1
+        now = time.time()
+        parts = dict(base.partitions)
+        for m in meta_rows:
+            p = int(m["part"])
+            old = parts[p]
+            lineage = list(old.lineage)
+            lineage.append(
+                {
+                    "txn_id": txn_id,
+                    "ts": now,
+                    "compacted": True,
+                    "purged_tombstones": purge_tombstones,
+                    "files_before": len(old.files),
+                    "files_after": len(m["files"]),
+                }
+            )
+            parts[p] = PartitionState(
+                files=[f"data/part={p}/{fn}" for fn in m["files"]],
+                rows=int(m["rows"]),
+                tombstones=int(m["tombstones"]),
+                bytes=int(m["bytes"]),
+                watermark_lsn=old.watermark_lsn,
+                next_doc_seq=old.next_doc_seq,
+                lineage=lineage,
+            )
+        manifest = Manifest(
+            version=base.version + 1,
+            txn_id=txn_id,
+            parent_version=base.version,
+            schema=base.schema,
+            partitions=parts,
+            salt_map=base.salt_map,
+            pending_migrations=base.pending_migrations,
+            next_part=base.next_part,
+            metrics=base.metrics,
         )
-        parts[p] = PartitionState(
-            files=[f"data/part={p}/{fn}" for fn in m["files"]],
-            rows=int(m["rows"]),
-            tombstones=int(m["tombstones"]),
-            bytes=int(m["bytes"]),
-            watermark_lsn=old.watermark_lsn,
-            next_doc_seq=old.next_doc_seq,
-            lineage=lineage,
-        )
-    manifest = Manifest(
-        version=current.version + 1,
-        txn_id=txn_id,
-        parent_version=current.version,
-        schema=current.schema,
-        partitions=parts,
-        salt_map=current.salt_map,
-        pending_migrations=current.pending_migrations,
-        next_part=current.next_part,
-        metrics=current.metrics,
-    )
-    committed = lake.commit(manifest)
+        try:
+            committed = lake.commit(manifest)
+            break
+        except CommitConflict:
+            if attempt >= cfg.commit_retries:
+                raise
+            new_base = lake.current_manifest()
+            # safe to rebase only if nobody touched the partitions we
+            # rewrote; otherwise our staged output is stale → clean abort
+            # (staged files are inert; gc_orphans reclaims them)
+            for p, st in todo.items():
+                if new_base.partitions.get(p, PartitionState()).files != st.files:
+                    raise CompactionConflict(
+                        f"partition {p} changed under compaction txn {txn_id}; "
+                        "aborting (re-run compact)"
+                    )
+            base = new_base
+            time.sleep(min(0.05 * attempt, 1.0))
     return {
         "noop": False,
         "version": committed.version,
         "txn_id": txn_id,
         "parts_compacted": len(meta_rows),
         "tombstones_purged": purge_tombstones,
+        "purge_horizon_us": purge_horizon_us,
+        "commit_attempts": attempt,
     }

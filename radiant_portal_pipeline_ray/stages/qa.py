@@ -9,7 +9,7 @@ run from the DAG `radiant/dags/data_integrity_starrocks.py:141-185`).
 Each check is a streaming aggregate over a Dataset (never a driver-side
 materialization); the suite returns a report dict the engine persists next
 to the manifest, and ``CdcEngine.apply(..)`` runs it post-commit when
-``EngineConfig.extra['run_qa']`` is set. Failures are data, not exceptions
+``EngineConfig.run_qa`` is set. Failures are data, not exceptions
 — the caller decides to gate (same known-failure-tolerance shape as the
 reference's Jira-tagged dbt failures).
 """

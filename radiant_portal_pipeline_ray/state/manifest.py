@@ -257,19 +257,34 @@ class Lake:
         return manifest
 
     # -- GC ---------------------------------------------------------------
-    def gc_orphans(self, keep_versions: int = 2) -> list[str]:
-        """Delete data files referenced by no manifest and stale staging dirs.
+    def gc_orphans(
+        self, keep_versions: int = 2, staging_age_s: float = 3600.0
+    ) -> list[str]:
+        """Prune old manifests, delete unreferenced data files, and clear
+        QUIESCED staging dirs.
+
+        - Manifests older than the newest ``keep_versions`` are removed
+          first (time-travel window); data files are then deleted when no
+          surviving manifest references them.
+        - A ``_staging/<txn>`` dir is removed only when its newest mtime is
+          older than ``staging_age_s`` — an in-flight apply/compact keeps
+          touching its staging dir, so a concurrent GC must not wipe files
+          that a commit is about to promote.
 
         Safe after a crash mid-commit: staged/promoted-but-unreferenced files
         are inert; re-running apply regenerates them deterministically.
         """
+        removed: list[str] = []
         vs = self.versions()
+        for v in vs[:-keep_versions] if keep_versions > 0 else vs[:-1]:
+            path = self._manifest_path(v)
+            os.remove(path)
+            removed.append(os.path.relpath(path, self.root))
         referenced: set[str] = set()
-        for v in vs:
+        for v in self.versions():
             man = self.read_manifest(v)
             for st in man.partitions.values():
                 referenced.update(st.files)
-        removed = []
         for entry in os.listdir(self.data_dir):
             pdir = os.path.join(self.data_dir, entry)
             if not os.path.isdir(pdir):
@@ -279,9 +294,17 @@ class Lake:
                 if rel not in referenced:
                     os.remove(self.abspath(rel))
                     removed.append(rel)
-        # stale staging: any txn dir not belonging to the current manifest
+        # staging: only txn dirs quiescent for > staging_age_s (an in-flight
+        # writer's dir has a recent mtime somewhere under it)
+        now = time.time()
         for txn in os.listdir(self.staging_root):
             sd = os.path.join(self.staging_root, txn)
+            newest = os.path.getmtime(sd)
+            for root_, _, files_ in os.walk(sd):
+                for fn in files_:
+                    newest = max(newest, os.path.getmtime(os.path.join(root_, fn)))
+            if now - newest < staging_age_s:
+                continue
             for root_, _, files_ in os.walk(sd, topdown=False):
                 for fn in files_:
                     os.remove(os.path.join(root_, fn))

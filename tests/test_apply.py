@@ -156,7 +156,7 @@ def test_resume_after_crash_between_stage_and_commit(
     want = oracle_final_state(changelog_t1)
     assert_tables_equal(engine_state(eng), want)
 
-    removed = eng.lake.gc_orphans()
+    removed = eng.lake.gc_orphans(staging_age_s=0.0)
     assert any(txn in r for r in removed)
     # all referenced files still exist
     man = eng.lake.current_manifest()

@@ -55,16 +55,22 @@ def test_purge_tombstones_then_apply_converges(ray_session, tmp_path):
     )
     paths = generate_changelog(str(tmp_path / "cl"), spec)
     lake = str(tmp_path / "lake")
-    cfg = EngineConfig(n_parts=4)
+    # horizon lag = the generator's out-of-order jitter bound: tombstones
+    # older than (max warc_ts - jitter) can no longer be beaten by any
+    # arriving event and are purged; newer ones are retained.
+    cfg = EngineConfig(n_parts=4, tombstone_horizon_lag_s=spec.ts_jitter_s)
     eng = CdcEngine(lake, cfg)
     eng.apply(paths[:3])
     man = eng.lake.current_manifest()
-    assert sum(st.tombstones for st in man.partitions.values()) > 0
+    tombs_before = sum(st.tombstones for st in man.partitions.values())
+    assert tombs_before > 0
 
     r = compact(lake, cfg, min_files=1, purge_tombstones=True)
     assert r["noop"] is False
     man2 = eng.lake.current_manifest()
-    assert sum(st.tombstones for st in man2.partitions.values()) == 0
+    tombs_after = sum(st.tombstones for st in man2.partitions.values())
+    assert tombs_after < tombs_before  # old tombstones purged
+    assert tombs_after > 0  # recent (inside-horizon) tombstones retained
 
     # the engine keeps converging after purge: replay remaining batch and
     # compare with an uncompacted replay of the full changelog
