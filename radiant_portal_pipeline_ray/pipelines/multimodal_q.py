@@ -15,6 +15,8 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data as rd
 
+from radiant_portal_pipeline_ray.sources.io import read_parquet_clean
+
 from radiant_portal_pipeline_ray.stages.multimodal import (
     FrameSampleStage,
     ImageFeatureStage,
@@ -33,7 +35,7 @@ def _register(name: str, sql: str | None):
 
 def _media_from_documents(sf_dir: str) -> rd.Dataset:
     """documents → MEDIA_SCHEMA-shaped dataset (payload = text bytes)."""
-    docs = rd.read_parquet(
+    docs = read_parquet_clean(
         os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
     )
 

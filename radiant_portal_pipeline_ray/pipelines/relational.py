@@ -19,6 +19,8 @@ import pyarrow.compute as pc
 import pyarrow.parquet as pq
 import ray.data as rd
 
+from radiant_portal_pipeline_ray.sources.io import read_parquet_clean
+
 from radiant_portal_pipeline_ray.stages.aggregates import (
     count_distinct_groupby,
     partial_final_groupby,
@@ -69,7 +71,7 @@ def _to_cents(col, scale=100):
 )
 def q1_pricing_summary(sf_dir: str):
     cutoff = pa.scalar(np.datetime64("1998-09-02T00:00:00", "us"))
-    ds = rd.read_parquet(
+    ds = read_parquet_clean(
         _pq(sf_dir, "lineitem"),
         columns=[
             "l_returnflag",
@@ -147,7 +149,7 @@ def q_region_revenue(sf_dir: str):
     dim = dim.select(["c_custkey", "r_name"]).rename_columns(
         ["c_custkey", "region_name"]
     )
-    orders = rd.read_parquet(
+    orders = read_parquet_clean(
         _pq(sf_dir, "orders"), columns=["o_custkey", "o_totalprice"]
     )
     joined = orders.map_batches(
@@ -191,13 +193,13 @@ def q_region_revenue(sf_dir: str):
 )
 def q_customers_without_orders(sf_dir: str):
     cutoff = pa.scalar(np.datetime64("2001-01-01T00:00:00", "us"))
-    seen = rd.read_parquet(
+    seen = read_parquet_clean(
         _pq(sf_dir, "orders"),
         columns=["o_custkey", "o_orderdate"],
         filter=pc.field("o_orderdate") >= cutoff,
     ).unique("o_custkey")
     key_set = pa.table({"o_custkey": pa.array(sorted(seen), type=pa.int64())})
-    cust = rd.read_parquet(_pq(sf_dir, "customer"), columns=["c_custkey", "c_name"])
+    cust = read_parquet_clean(_pq(sf_dir, "customer"), columns=["c_custkey", "c_name"])
     anti = cust.map_batches(
         make_semi_filter(["c_custkey"], key_set, invert=True),
         batch_format="pyarrow",
@@ -221,13 +223,13 @@ def q_customers_without_orders(sf_dir: str):
 )
 def q_parts_shipped_recently(sf_dir: str):
     cutoff = pa.scalar(np.datetime64("2000-06-01T00:00:00", "us"))
-    keys = rd.read_parquet(
+    keys = read_parquet_clean(
         _pq(sf_dir, "lineitem"),
         columns=["l_partkey", "l_shipdate"],
         filter=pc.field("l_shipdate") > cutoff,
     ).unique("l_partkey")
     key_set = pa.table({"l_partkey": pa.array(sorted(keys), type=pa.int64())})
-    part = rd.read_parquet(_pq(sf_dir, "part"), columns=["p_partkey", "p_name"])
+    part = read_parquet_clean(_pq(sf_dir, "part"), columns=["p_partkey", "p_name"])
     return part.map_batches(
         make_semi_filter(["p_partkey"], key_set), batch_format="pyarrow"
     ).sort("p_partkey")
@@ -249,7 +251,7 @@ def q_parts_shipped_recently(sf_dir: str):
     """,
 )
 def q_latest_order_per_customer(sf_dir: str):
-    orders = rd.read_parquet(
+    orders = read_parquet_clean(
         _pq(sf_dir, "orders"),
         columns=["o_custkey", "o_orderkey", "o_orderdate", "o_totalprice"],
     )
@@ -288,7 +290,7 @@ def q_latest_order_per_customer(sf_dir: str):
     """,
 )
 def q_top_event_per_type(sf_dir: str):
-    ev = rd.read_parquet(
+    ev = read_parquet_clean(
         _pq(sf_dir, "events"), columns=["event_type", "event_id", "value"]
     )
     top = topk_per_key(
@@ -323,7 +325,7 @@ def q_top_event_per_type(sf_dir: str):
     """,
 )
 def q_events_lww_state(sf_dir: str):
-    ev = rd.read_parquet(
+    ev = read_parquet_clean(
         _pq(sf_dir, "events"), columns=["user_id", "ts", "event_type", "event_id", "value"]
     )
     top = topk_per_key(
@@ -354,7 +356,7 @@ def q_events_lww_state(sf_dir: str):
     """,
 )
 def q_distinct_flag_status(sf_dir: str):
-    ds = rd.read_parquet(
+    ds = read_parquet_clean(
         _pq(sf_dir, "lineitem"), columns=["l_returnflag", "l_linestatus"]
     )
 
@@ -383,10 +385,10 @@ def q_distinct_flag_status(sf_dir: str):
     """,
 )
 def q_union_distinct_custkeys(sf_dir: str):
-    a = rd.read_parquet(_pq(sf_dir, "orders"), columns=["o_custkey"]).map_batches(
+    a = read_parquet_clean(_pq(sf_dir, "orders"), columns=["o_custkey"]).map_batches(
         lambda b: b.rename_columns(["custkey"]), batch_format="pyarrow"
     )
-    b = rd.read_parquet(_pq(sf_dir, "customer"), columns=["c_custkey"]).map_batches(
+    b = read_parquet_clean(_pq(sf_dir, "customer"), columns=["c_custkey"]).map_batches(
         lambda t: t.rename_columns(["custkey"]), batch_format="pyarrow"
     )
     n = len(a.union(b).unique("custkey"))
@@ -407,7 +409,7 @@ def q_union_distinct_custkeys(sf_dir: str):
     """,
 )
 def q_top_tokens(sf_dir: str):
-    docs = rd.read_parquet(_pq(sf_dir, "documents"), columns=["text"])
+    docs = read_parquet_clean(_pq(sf_dir, "documents"), columns=["text"])
 
     def explode_count(b: pa.Table) -> pa.Table:
         toks = pc.list_flatten(pc.split_pattern(b.column("text"), " "))
@@ -447,7 +449,7 @@ def q_top_tokens(sf_dir: str):
     """,
 )
 def q_hourly_user_activity(sf_dir: str):
-    ev = rd.read_parquet(_pq(sf_dir, "events"), columns=["user_id", "ts", "value"])
+    ev = read_parquet_clean(_pq(sf_dir, "events"), columns=["user_id", "ts", "value"])
 
     def bucket(b: pa.Table) -> pa.Table:
         us = pc.cast(b.column("ts"), pa.int64())
@@ -488,7 +490,7 @@ def q_hourly_user_activity(sf_dir: str):
     """,
 )
 def q_event_type_stats(sf_dir: str):
-    ev = rd.read_parquet(
+    ev = read_parquet_clean(
         _pq(sf_dir, "events"), columns=["event_type", "user_id", "value"]
     )
 
@@ -539,7 +541,7 @@ def q_event_type_stats(sf_dir: str):
     """,
 )
 def q_scalar_projection(sf_dir: str):
-    cust = rd.read_parquet(
+    cust = read_parquet_clean(
         _pq(sf_dir, "customer"), columns=["c_custkey", "c_name", "c_mktsegment", "c_acctbal"]
     )
 
@@ -578,7 +580,7 @@ def q_scalar_projection(sf_dir: str):
     """,
 )
 def q_order_overlap_windows(sf_dir: str):
-    orders = rd.read_parquet(
+    orders = read_parquet_clean(
         _pq(sf_dir, "orders"), columns=["o_orderkey", "o_custkey", "o_orderdate"]
     )
     win = 90 * 86_400_000_000  # 90 days in µs
@@ -626,7 +628,7 @@ def q_order_overlap_windows(sf_dir: str):
     """,
 )
 def q_nation_segments(sf_dir: str):
-    cust = rd.read_parquet(
+    cust = read_parquet_clean(
         _pq(sf_dir, "customer"), columns=["c_nationkey", "c_mktsegment"]
     )
 
@@ -667,11 +669,11 @@ def q_nation_segments(sf_dir: str):
     """,
 )
 def q_shipped_within_60d(sf_dir: str):
-    li = rd.read_parquet(
+    li = read_parquet_clean(
         _pq(sf_dir, "lineitem"),
         columns=["l_orderkey", "l_shipdate", "l_extendedprice", "l_discount"],
     )
-    orders = rd.read_parquet(
+    orders = read_parquet_clean(
         _pq(sf_dir, "orders"), columns=["o_orderkey", "o_orderdate", "o_orderpriority"]
     )
     joined = hash_partitioned_join(

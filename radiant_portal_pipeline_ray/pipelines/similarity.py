@@ -23,6 +23,8 @@ import pyarrow.compute as pc
 import pyarrow.parquet as pq
 import ray.data as rd
 
+from radiant_portal_pipeline_ray.sources.io import read_parquet_clean
+
 from radiant_portal_pipeline_ray.stages.similarity import (
     BruteForceTopK,
     HyperplaneLSHStage,
@@ -44,7 +46,7 @@ def _register(name: str, sql: str | None):
 
 
 def _emb_ds(sf_dir: str):
-    return rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    return read_parquet_clean(os.path.join(sf_dir, "embeddings.parquet"))
 
 
 def _emb_table(sf_dir: str) -> pa.Table:

@@ -1,7 +1,7 @@
 """Text-analysis queries over the ``documents`` table (training-data ops).
 
-Actor-pool stages (``map_batches(Cls, concurrency=2)``) — state (stopword
-sets, language profiles, compiled regexes) is built once per actor.
+Stage instances (state built once at construction, shipped in the task
+closure) run as task pools — full read-side parallelism, no actor cap.
 """
 
 from __future__ import annotations
@@ -10,6 +10,8 @@ import os
 
 import pyarrow as pa
 import ray.data as rd
+
+from radiant_portal_pipeline_ray.sources.io import read_parquet_clean
 
 from radiant_portal_pipeline_ray.stages.textstages import (
     FingerprintStage,
@@ -30,7 +32,7 @@ def _register(name: str, sql: str | None):
 
 
 def _docs(sf_dir: str, columns=None):
-    return rd.read_parquet(os.path.join(sf_dir, "documents.parquet"), columns=columns)
+    return read_parquet_clean(os.path.join(sf_dir, "documents.parquet"), columns=columns)
 
 
 _STOPLIST_SQL = (
@@ -50,7 +52,7 @@ _STOPLIST_SQL = (
 )
 def t_token_counts(sf_dir: str):
     ds = _docs(sf_dir, ["doc_id", "text"]).map_batches(
-        TokenizeStage(), batch_format="pyarrow", concurrency=2
+        TokenizeStage(), batch_format="pyarrow"
     )
     return ds.select_columns(["doc_id", "n_tokens_ws"]).sort("doc_id")
 
@@ -70,24 +72,75 @@ def t_token_counts(sf_dir: str):
 )
 def t_quality_scores(sf_dir: str):
     ds = _docs(sf_dir, ["doc_id", "text"]).map_batches(
-        QualityScoreStage(), batch_format="pyarrow", concurrency=2
+        QualityScoreStage(), batch_format="pyarrow"
     )
     return ds.select_columns(["doc_id", "n_chars_q", "n_words", "n_stopwords"]).sort(
         "doc_id"
     )
 
 
-@_register("t_lang_id", None)  # heuristic classifier — rows-only check
+def _lang_count_sql(lang: str, words: list[str]) -> str:
+    lst = "[" + ",".join(f"'{w}'" for w in sorted(words)) + "]"
+    return (
+        f"len(list_filter(w, x -> list_contains({lst}, x))) AS c_{lang}"
+    )
+
+
+def _lang_id_sql() -> str:
+    """DuckDB mirror of LangIdStage: first-100 nonempty lowercase tokens
+    voted against per-language stopword profiles; CJK codepoint share of the
+    first 200 chars ⇒ 'zh'; ties → alphabetically-first language (the CASE
+    WHEN chain is in alphabetical order, matching np.argmax's first-max)."""
+    from radiant_portal_pipeline_ray.stages.textstages import _LANG_PROFILES
+
+    langs = sorted(k for k, v in _LANG_PROFILES.items() if v)
+    counts = ",\n             ".join(
+        _lang_count_sql(l, _LANG_PROFILES[l]) for l in langs
+    )
+    glist = ", ".join("c_" + l for l in langs)
+    tie = "\n               ".join(
+        f"WHEN c_{l} = greatest({glist}) THEN '{l}'" for l in langs
+    )
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, lang, text,
+             list_filter(string_split(lower(text), ' '), x -> x <> '')[:100] AS w,
+             substr(text, 1, 200) AS head
+      FROM documents
+    ), votes AS (
+      SELECT doc_id, lang, text, head, w,
+             {counts},
+             len(regexp_extract_all(head, '[一-鿿]')) AS cjk
+      FROM toks
+    )
+    SELECT doc_id, lang,
+           CASE
+             WHEN text IS NULL OR text = '' THEN NULL
+             WHEN cjk > 0.2 * length(head) THEN 'zh'
+             WHEN len(w) = 0 OR greatest({glist}) = 0 THEN 'und'
+             ELSE CASE {tie} END
+           END AS lang_pred
+    FROM votes ORDER BY doc_id
+    """
+
+
+@_register("t_lang_id", _lang_id_sql())
 def t_lang_id(sf_dir: str):
     ds = _docs(sf_dir, ["doc_id", "text", "lang"]).map_batches(
-        LangIdStage(), batch_format="pyarrow", concurrency=2
+        LangIdStage(), batch_format="pyarrow"
     )
     return ds.select_columns(["doc_id", "lang", "lang_pred"]).sort("doc_id")
 
 
-@_register("t_fingerprints", None)  # custom rolling hash — rows-only check
+@_register(
+    "t_fingerprints",
+    """
+    SELECT doc_id, md5(text) AS fingerprint
+    FROM documents ORDER BY doc_id
+    """,
+)
 def t_fingerprints(sf_dir: str):
     ds = _docs(sf_dir, ["doc_id", "text"]).map_batches(
-        FingerprintStage(), batch_format="pyarrow", concurrency=2
+        FingerprintStage(), batch_format="pyarrow"
     )
     return ds.select_columns(["doc_id", "fingerprint"]).sort("doc_id")

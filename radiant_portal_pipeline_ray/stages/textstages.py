@@ -7,9 +7,15 @@ zygosity/transmission classification — lookup-table driven, per-record,
 stateless). Stateful pieces (compiled regexes, stopword sets, language
 profiles) live in callable-class ``__init__`` so they are built once per
 actor, per the actor-pool idiom.
+
+All kernels are vectorized: `pyarrow.compute` split/lower/is_in +
+``np.bincount`` per-doc folds. The only per-row loop left is the md5 call
+in ``FingerprintStage`` (C-backed hashlib per document, no per-byte Python).
 """
 
 from __future__ import annotations
+
+import hashlib
 
 import numpy as np
 import pyarrow as pa
@@ -30,16 +36,31 @@ _LANG_PROFILES: dict[str, set[str]] = {
 _STOPWORDS_EN = _LANG_PROFILES["en"] | {"a", "an", "on", "at", "as", "by", "be"}
 
 
+def _split_tokens(text: pa.Array | pa.ChunkedArray):
+    """Single-space split, empty tokens masked out — equals
+    ``text.strip().split(' ')`` + empty filter (and the DuckDB oracle's
+    ``list_filter(string_split(trim(text), ' '), x -> x <> '')``).
+
+    Returns (flat tokens, parent row index per token, nonempty mask)."""
+    toks = pc.split_pattern(text, " ")
+    flat = pc.list_flatten(toks)
+    if isinstance(flat, pa.ChunkedArray):
+        flat = flat.combine_chunks()
+    parent = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+    ne = np.asarray(
+        pc.not_equal(flat, "").to_numpy(zero_copy_only=False), dtype=bool
+    )
+    return flat, parent, ne
+
+
 class TokenizeStage:
     """Whitespace tokenization + counts; BPE-ish split available via regex."""
 
-    def __init__(self, text_col: str = "text", mode: str = "whitespace"):
-        import re
+    BPE_PATTERN = r"[A-Za-z]+|[0-9]+|[^\sA-Za-z0-9]"
 
+    def __init__(self, text_col: str = "text", mode: str = "whitespace"):
         self.text_col = text_col
         self.mode = mode
-        # GPT-2-style pre-tokenizer shape: word fragments / numbers / punct
-        self.bpe_re = re.compile(r"[A-Za-z]+|[0-9]+|[^\sA-Za-z0-9]")
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         text = batch.column(self.text_col)
@@ -52,13 +73,16 @@ class TokenizeStage:
         )
         batch = batch.append_column("n_tokens_ws", pc.cast(n_ws, pa.int64()))
         if self.mode == "bpe":
-            counts = [
-                len(self.bpe_re.findall(t)) if t is not None else 0
-                for t in text.to_pylist()
-            ]
-            batch = batch.append_column(
-                "n_tokens_bpe", pa.array(counts, type=pa.int64())
+            # GPT-2-style pre-tokenizer shape: word fragments / numbers /
+            # punct — non-overlapping match count, vectorized in RE2
+            counts = pc.cast(
+                pc.fill_null(
+                    pc.count_substring_regex(text, self.BPE_PATTERN), 0
+                ),
+                pa.int64(),
             )
+            counts = pc.if_else(pc.is_valid(text), counts, pa.scalar(0, pa.int64()))
+            batch = batch.append_column("n_tokens_bpe", counts)
         return batch
 
 
@@ -71,24 +95,31 @@ class QualityScoreStage:
     def __init__(self, text_col: str = "text", stopwords: set[str] | None = None):
         self.text_col = text_col
         self.stopwords = stopwords or _STOPWORDS_EN
+        self._stop_arr = pa.array(sorted(self.stopwords), type=pa.string())
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        n_chars, n_words, n_stop = [], [], []
-        for t in batch.column(self.text_col).to_pylist():
-            if t is None:
-                n_chars.append(None)
-                n_words.append(None)
-                n_stop.append(None)
-                continue
-            toks = [w for w in t.split() if w]
-            n_chars.append(len(t))
-            n_words.append(len(toks))
-            n_stop.append(sum(1 for w in toks if w.lower() in self.stopwords))
-        batch = batch.append_column("n_chars_q", pa.array(n_chars, type=pa.int64()))
-        batch = batch.append_column("n_words", pa.array(n_words, type=pa.int64()))
-        batch = batch.append_column(
-            "n_stopwords", pa.array(n_stop, type=pa.int64())
+        text = batch.column(self.text_col)
+        n = batch.num_rows
+        valid = np.asarray(
+            pc.is_valid(text).to_numpy(zero_copy_only=False), dtype=bool
         )
+        n_chars = pc.cast(pc.utf8_length(text), pa.int64())
+
+        flat, parent, ne = _split_tokens(text)
+        n_words_np = np.bincount(parent[ne], minlength=n)
+        is_stop = np.asarray(
+            pc.is_in(pc.utf8_lower(flat), value_set=self._stop_arr).to_numpy(
+                zero_copy_only=False
+            ),
+            dtype=bool,
+        )
+        n_stop_np = np.bincount(parent[ne & is_stop], minlength=n)
+
+        n_words = pa.array(n_words_np.astype(np.int64), mask=~valid)
+        n_stop = pa.array(n_stop_np.astype(np.int64), mask=~valid)
+        batch = batch.append_column("n_chars_q", n_chars)
+        batch = batch.append_column("n_words", n_words)
+        batch = batch.append_column("n_stopwords", n_stop)
         ratio = pc.if_else(
             pc.greater(pc.fill_null(batch.column("n_words"), 0), 0),
             pc.divide(
@@ -103,53 +134,89 @@ class QualityScoreStage:
 class LangIdStage:
     """Heuristic language ID: stopword-profile voting + CJK codepoint check.
     Profiles built once per actor (reference T1/T2 pattern: per-worker state
-    resolved once, reused per record)."""
+    resolved once, reused per record). Fully vectorized; ties on vote count
+    resolve to the alphabetically-first language; docs with no profile hits
+    → ``'und'``; null/empty text → null.
+
+    Matches the SQL oracle in pipelines/textops.py exactly: tokens are the
+    first 100 nonempty single-space-split tokens of ``lower(text)``; the
+    CJK check counts codepoints U+4E00..U+9FFF in the first 200 characters.
+    """
 
     def __init__(self, text_col: str = "text", out_col: str = "lang_pred"):
         self.text_col = text_col
         self.out_col = out_col
-        self.profiles = {k: v for k, v in _LANG_PROFILES.items() if v}
-
-    def _classify(self, t: str | None) -> str | None:
-        if not t:
-            return None
-        cjk = sum(1 for ch in t[:200] if "一" <= ch <= "鿿")
-        if cjk > len(t[:200]) * 0.2:
-            return "zh"
-        words = t.lower().split()[:100]
-        if not words:
-            return "und"
-        best, best_n = "und", 0
-        for lang, prof in self.profiles.items():
-            n = sum(1 for w in words if w in prof)
-            if n > best_n or (n == best_n and n > 0 and lang < best):
-                best, best_n = lang, n
-        return best if best_n > 0 else "und"
+        self.langs = sorted(k for k, v in _LANG_PROFILES.items() if v)
+        self._profiles = [
+            pa.array(sorted(_LANG_PROFILES[k]), type=pa.string())
+            for k in self.langs
+        ]
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        preds = [self._classify(t) for t in batch.column(self.text_col).to_pylist()]
-        return batch.append_column(self.out_col, pa.array(preds, type=pa.string()))
+        text = batch.column(self.text_col)
+        n = batch.num_rows
+        empty_or_null = pc.fill_null(
+            pc.equal(pc.utf8_length(text), 0), True
+        ).to_numpy(zero_copy_only=False)
+        empty_or_null = np.asarray(empty_or_null, dtype=bool)
+
+        head = pc.utf8_slice_codeunits(text, 0, 200)
+        cjk = pc.fill_null(
+            pc.count_substring_regex(head, "[一-鿿]"), 0
+        ).to_numpy(zero_copy_only=False)
+        head_len = pc.fill_null(pc.utf8_length(head), 0).to_numpy(
+            zero_copy_only=False
+        )
+        is_zh = cjk > 0.2 * head_len
+
+        flat, parent, ne = _split_tokens(pc.utf8_lower(text))
+        T = len(parent)
+        votes = np.zeros((n, len(self.langs)), dtype=np.int64)
+        if T:
+            # keep only the first 100 nonempty tokens of each doc
+            cnt = np.bincount(parent, minlength=n)
+            starts = np.minimum(
+                np.concatenate([[0], np.cumsum(cnt)[:-1]]), T - 1
+            )
+            cum = np.cumsum(ne)
+            base = cum[starts] - ne[starts]  # nonempty tokens before doc start
+            rank = cum - 1 - base[parent]
+            keep = ne & (rank < 100)
+            for j, prof in enumerate(self._profiles):
+                hit = np.asarray(
+                    pc.is_in(flat, value_set=prof).to_numpy(
+                        zero_copy_only=False
+                    ),
+                    dtype=bool,
+                )
+                votes[:, j] = np.bincount(parent[keep & hit], minlength=n)
+
+        best_j = np.argmax(votes, axis=1)  # first max → alphabetical tie-break
+        best_n = votes[np.arange(n), best_j]
+        has_words = np.bincount(parent[ne], minlength=n) > 0
+
+        langs_arr = np.array(self.langs, dtype=object)
+        out = np.where(
+            is_zh,
+            "zh",
+            np.where((best_n > 0) & has_words, langs_arr[best_j], "und"),
+        ).astype(object)
+        preds = pa.array(out, type=pa.string(), mask=empty_or_null)
+        return batch.append_column(self.out_col, preds)
 
 
 class FingerprintStage:
-    """Deterministic 64-bit rolling polynomial document fingerprint
-    (content-identity hash usable for exact dedup / caching)."""
-
-    MOD = (1 << 61) - 1
-    BASE = 262_657
+    """Deterministic md5 document fingerprint (content-identity hash usable
+    for exact dedup / caching) — hex string, reproducible by any SQL
+    engine's ``md5()``. Per-row hashlib call (C), no per-byte Python."""
 
     def __init__(self, text_col: str = "text", out_col: str = "fingerprint"):
         self.text_col = text_col
         self.out_col = out_col
 
-    def _fp(self, t: str | None) -> int | None:
-        if t is None:
-            return None
-        h = 0
-        for b in t.encode("utf-8"):
-            h = (h * self.BASE + b + 1) % self.MOD
-        return h
-
     def __call__(self, batch: pa.Table) -> pa.Table:
-        fps = [self._fp(t) for t in batch.column(self.text_col).to_pylist()]
-        return batch.append_column(self.out_col, pa.array(fps, type=pa.int64()))
+        fps = [
+            None if t is None else hashlib.md5(t.encode("utf-8")).hexdigest()
+            for t in batch.column(self.text_col).to_pylist()
+        ]
+        return batch.append_column(self.out_col, pa.array(fps, type=pa.string()))
