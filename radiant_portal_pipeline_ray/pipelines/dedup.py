@@ -39,8 +39,11 @@ from radiant_portal_pipeline_ray.stages.dedup import (
     MinHashStage,
     ShingleExplodeStage,
     SimHashStage,
-    candidate_pairs_from_buckets,
+    _expand_pairs,
+    _run_bounds,
     make_band_exploder,
+    make_partitioned_pair_generator,
+    make_pkey_adder,
 )
 
 logger = logging.getLogger(__name__)
@@ -106,21 +109,23 @@ def dd_exact(sf_dir: str):
 
 # ---------------------------------------------------------------------------
 def candidate_shingle_state(
-    sh_ds: "rd.Dataset", cand_ids: set[int]
+    sf_dir: str, cand_ids: set[int], k: int = 3
 ) -> dict[int, frozenset]:
-    """Shingle-hash sets for CANDIDATE docs only: semi-filter the exploded
-    (doc_id, s) dataset to the candidate ids, then fold into {id: set}.
-    Memory is bounded by the candidate count, never the corpus size."""
+    """Shingle-hash sets for CANDIDATE docs only: re-read the documents
+    table with the candidate-id filter PUSHED INTO the parquet read (row
+    groups without candidates never leave storage), shingle just those docs,
+    fold into {id: set}. Memory and I/O are bounded by the candidate count,
+    never the corpus size."""
     if not cand_ids:
         return {}
-    ids_arr = pa.array(sorted(cand_ids), type=pa.int64())
-
-    def semi(b: pa.Table) -> pa.Table:
-        return b.filter(pc.is_in(b.column("doc_id"), value_set=ids_arr))
-
-    parts = ray.get(
-        sh_ds.map_batches(semi, batch_format="pyarrow").to_arrow_refs()
+    ids = sorted(cand_ids)
+    ds = read_parquet_clean(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "text"],
+        filter=pc.field("doc_id").isin(ids),
     )
+    sh = ds.map_batches(ShingleExplodeStage(k=k), batch_format="pyarrow")
+    parts = ray.get(sh.to_arrow_refs())
     t = pa.concat_tables([p for p in parts if p.num_rows])
     if t.num_rows == 0:
         return {}
@@ -137,8 +142,33 @@ def candidate_shingle_state(
     return out
 
 
+#: below this many bucket rows the pair generation runs as ONE vectorized
+#: driver call instead of a distributed groupby — Ray's all-to-all has a
+#: ~2 s fixed floor that dwarfs small inputs; above it, the hash-partitioned
+#: groupby (the 10^10-scale path) takes over. Bucket rows are 20-byte
+#: (key, id) tuples, so the driver path is bounded at ~40 MB.
+_DRIVER_PAIR_THRESHOLD = 2_000_000
+
+
+def _bucket_pairs(bucket_ds: "rd.Dataset", key_col: str, max_bucket: int):
+    """(key, doc_id) bucket rows → candidate-pair table/Dataset, adaptively
+    driver-local (small) or hash-partition-distributed (scale path)."""
+    gen = make_partitioned_pair_generator(key_col, "doc_id", max_bucket)
+    bucket_ds = bucket_ds.select_columns([key_col, "doc_id"]).materialize()
+    if bucket_ds.count() <= _DRIVER_PAIR_THRESHOLD:
+        t = pa.concat_tables(
+            [p for p in ray.get(bucket_ds.to_arrow_refs()) if p.num_rows]
+        )
+        return gen(t.combine_chunks())
+    return (
+        bucket_ds.map_batches(make_pkey_adder(key_col), batch_format="pyarrow")
+        .groupby("pkey")
+        .map_groups(gen, batch_format="pyarrow")
+    )
+
+
 def _verify_pairs(
-    sh_ds: "rd.Dataset",
+    sf_dir: str,
     pairs_ds: "rd.Dataset",
     num: int = 1,
     den: int = 2,
@@ -147,23 +177,24 @@ def _verify_pairs(
     """Dedup candidate pairs, log dropped hot buckets, exact-verify via
     semi-filtered shingle state in an actor pool."""
 
-    def real_pairs(b: pa.Table) -> pa.Table:
-        return b.filter(pc.not_equal(b.column("doc_a"), -1)).select(
-            ["doc_a", "doc_b"]
+    # candidate set is tiny relative to the corpus — safe to pull; dedup
+    # driver-side with one C-speed arrow group_by
+    if isinstance(pairs_ds, pa.Table):
+        pt = pairs_ds
+    else:
+        parts = ray.get(pairs_ds.to_arrow_refs())
+        pt = pa.concat_tables([p for p in parts if p.num_rows])
+    if pt.num_rows == 0:
+        pt = pa.table(
+            {
+                "doc_a": pa.array([], pa.int64()),
+                "doc_b": pa.array([], pa.int64()),
+                "dropped_bucket": pa.array([], pa.int64()),
+            }
         )
-
-    def drop_markers(b: pa.Table) -> pa.Table:
-        return b.filter(pc.equal(b.column("doc_a"), -1)).select(
-            ["dropped_bucket"]
-        )
-
-    pairs_ds = pairs_ds.materialize()
-    drops = [
-        r["dropped_bucket"]
-        for r in pairs_ds.map_batches(
-            drop_markers, batch_format="pyarrow"
-        ).take_all()
-    ]
+    drops = pt.filter(pc.equal(pt.column("doc_a"), -1)).column(
+        "dropped_bucket"
+    ).to_pylist()
     if drops:
         logger.warning(
             "%s: dropped %d over-cap candidate buckets (sizes %s...)",
@@ -171,24 +202,19 @@ def _verify_pairs(
             len(drops),
             sorted(drops, reverse=True)[:5],
         )
-    uniq = (
-        pairs_ds.map_batches(real_pairs, batch_format="pyarrow")
-        .groupby(["doc_a", "doc_b"])
-        .map_groups(lambda g: g.slice(0, 1), batch_format="pyarrow")
-    )
-    # candidate set is tiny relative to the corpus — safe to pull
-    pairs_t = pa.concat_tables(
-        [p for p in ray.get(uniq.to_arrow_refs())]
+    pairs_t = (
+        pt.filter(pc.not_equal(pt.column("doc_a"), -1))
+        .select(["doc_a", "doc_b"])
+        .group_by(["doc_a", "doc_b"])
+        .aggregate([])
     )
     cand_ids = set(pairs_t.column("doc_a").to_pylist()) | set(
         pairs_t.column("doc_b").to_pylist()
     )
-    state_ref = ray.put(candidate_shingle_state(sh_ds, cand_ids))
+    state_ref = ray.put(candidate_shingle_state(sf_dir, cand_ids))
     verified = rd.from_arrow(pairs_t).map_batches(
-        JaccardVerifyStage,
-        fn_constructor_args=(state_ref, num, den),
+        JaccardVerifyStage(state_ref, num, den),
         batch_format="pyarrow",
-        concurrency=(1, 8),
     )
     return verified.select_columns(["doc_a", "doc_b", "inter", "uni"]).sort(
         ["doc_a", "doc_b"]
@@ -232,11 +258,63 @@ def dd_ngram_jaccard(sf_dir: str, max_bucket: int = 4096):
         .map_batches(ShingleExplodeStage(k=3), batch_format="pyarrow")
         .materialize()
     )
-    pairs = sh.groupby("s").map_groups(
-        lambda g: candidate_pairs_from_buckets(g, "doc_id", max_bucket),
-        batch_format="pyarrow",
-    )
-    return _verify_pairs(sh, pairs, num=1, den=2, query="dd_ngram_jaccard")
+    gen = make_partitioned_pair_generator("s", "doc_id", max_bucket)
+    if sh.count() <= _DRIVER_PAIR_THRESHOLD:
+        # exactness-anchor path: within-bucket pairs carry multiplicity =
+        # number of shared shingles, so `inter` is ONE C-speed group_by
+        # count — no per-pair set intersections at all
+        t = pa.concat_tables(
+            [p for p in ray.get(sh.to_arrow_refs()) if p.num_rows]
+        ).combine_chunks()
+        pt = gen(t)
+        drops = pt.filter(pc.equal(pt.column("doc_a"), -1)).column(
+            "dropped_bucket"
+        ).to_pylist()
+        if drops:
+            logger.warning(
+                "dd_ngram_jaccard: dropped %d over-cap shingle buckets "
+                "(sizes %s...)",
+                len(drops),
+                sorted(drops, reverse=True)[:5],
+            )
+        real = pt.filter(pc.not_equal(pt.column("doc_a"), -1))
+        inter = (
+            real.group_by(["doc_a", "doc_b"])
+            .aggregate([("doc_a", "count")])
+            .rename_columns(["doc_a", "doc_b", "inter"])
+        )
+        sizes = (
+            t.group_by("doc_id").aggregate([("s", "count")])
+            .rename_columns(["doc_id", "n"])
+        )
+        j = inter.join(sizes, keys=["doc_a"], right_keys=["doc_id"]).rename_columns(
+            ["doc_a", "doc_b", "inter", "n_a"]
+        )
+        j = j.join(sizes, keys=["doc_b"], right_keys=["doc_id"]).rename_columns(
+            ["doc_a", "doc_b", "inter", "n_a", "n_b"]
+        )
+        uni = pc.subtract(
+            pc.add(j.column("n_a"), j.column("n_b")), j.column("inter")
+        )
+        j = j.append_column("uni", pc.cast(uni, pa.int64()))
+        keep = pc.greater_equal(
+            pc.multiply(pa.scalar(2, pa.int64()), pc.cast(j.column("inter"), pa.int64())),
+            j.column("uni"),
+        )
+        out = j.filter(keep).select(["doc_a", "doc_b", "inter", "uni"])
+        out = out.set_column(
+            2, "inter", pc.cast(out.column("inter"), pa.int64())
+        )
+        out = out.take(
+            pc.sort_indices(
+                out,
+                sort_keys=[("doc_a", "ascending"), ("doc_b", "ascending")],
+            )
+        )
+        return rd.from_arrow(out)
+    # scale path: distributed pair generation + semi-filtered verify
+    pairs = _bucket_pairs(sh, "s", max_bucket)
+    return _verify_pairs(sf_dir, pairs, num=1, den=2, query="dd_ngram_jaccard")
 
 
 # ---------------------------------------------------------------------------
@@ -247,18 +325,15 @@ def dd_minhash_lsh(sf_dir: str, max_bucket: int = 4096):
     ONE groupby on (band, band_hash), candidate pairs per bucket, verify
     against semi-filtered candidate shingle sets."""
     docs = _docs(sf_dir, ["doc_id", "text"])
-    sh = docs.map_batches(
-        ShingleExplodeStage(k=3), batch_format="pyarrow"
-    ).materialize()
     sigs = docs.map_batches(MinHashStage(n_perm=64, shingle_k=3), batch_format="pyarrow")
     buckets = sigs.map_batches(
         make_band_exploder(n_bands=16, rows_per_band=4), batch_format="pyarrow"
     )
-    pairs = buckets.groupby(["band", "band_hash"]).map_groups(
-        lambda g: candidate_pairs_from_buckets(g, "doc_id", max_bucket),
-        batch_format="pyarrow",
-    )
-    return _verify_pairs(sh, pairs, num=1, den=2, query="dd_minhash_lsh")
+    # band identity is folded into band_hash (per-band seed), so the bucket
+    # key is the single int64 hash; a cross-band collision only adds a
+    # candidate pair that verification rejects
+    pairs = _bucket_pairs(buckets, "band_hash", max_bucket)
+    return _verify_pairs(sf_dir, pairs, num=1, den=2, query="dd_minhash_lsh")
 
 
 # ---------------------------------------------------------------------------
@@ -281,16 +356,16 @@ def dd_simhash(sf_dir: str, max_bucket: int = 4096):
             np.uint64
         )
         n = len(ids)
-        chunk_no = np.tile(np.arange(4, dtype=np.int32), n)
         shifts = np.uint64(16) * np.arange(4, dtype=np.uint64)
         chunk_val = (
             (u[:, None] >> shifts[None, :]) & np.uint64(0xFFFF)
-        ).astype(np.int32)
+        ).astype(np.int64)
+        # single int64 bucket key: chunk_no folded into the high bits
+        key = chunk_val + (np.arange(4, dtype=np.int64) << 16)[None, :]
         return pa.table(
             {
                 "doc_id": pa.array(np.repeat(ids, 4), type=pa.int64()),
-                "chunk_no": pa.array(chunk_no, type=pa.int32()),
-                "chunk_val": pa.array(chunk_val.ravel(), type=pa.int32()),
+                "chunk_key": pa.array(key.ravel(), type=pa.int64()),
                 "simhash": pa.array(
                     np.repeat(u.view(np.int64), 4), type=pa.int64()
                 ),
@@ -299,57 +374,95 @@ def dd_simhash(sf_dir: str, max_bucket: int = 4096):
 
     buckets = sigs.map_batches(explode_chunks, batch_format="pyarrow")
 
-    def bucket_pairs(g: pa.Table) -> pa.Table:
-        t = g.group_by(["doc_id", "simhash"]).aggregate([])
-        ids = t.column("doc_id").to_numpy()
-        sims = t.column("simhash").to_numpy().astype(np.int64)
-        order = np.argsort(ids, kind="stable")
-        ids, sims = ids[order], sims[order]
-        m = len(ids)
-        if m > max_bucket:
-            return pa.table(
-                {
-                    "doc_a": pa.array([-1], type=pa.int64()),
-                    "doc_b": pa.array([-1], type=pa.int64()),
-                    "hamming": pa.array([m], type=pa.int64()),
-                }
+    def partition_pairs(group: pa.Table) -> pa.Table:
+        """One pkey partition (many chunk buckets) → hamming-verified pairs,
+        fully vectorized via run detection + arithmetic pair expansion."""
+        k = group.column("chunk_key").to_numpy(zero_copy_only=False)
+        i = group.column("doc_id").to_numpy(zero_copy_only=False)
+        s = group.column("simhash").to_numpy(zero_copy_only=False)
+        order = np.lexsort((i, k))
+        k, i, s = k[order], i[order], s[order]
+        if len(k):
+            first = np.concatenate(
+                [[True], (k[1:] != k[:-1]) | (i[1:] != i[:-1])]
             )
-        iu, ju = np.triu_indices(m, k=1)
-        x = (sims[iu] ^ sims[ju]).view(np.uint64)
-        ham = np.unpackbits(x.view(np.uint8).reshape(-1, 8), axis=1).sum(
-            axis=1
+            k, i, s = k[first], i[first], s[first]
+        empty = pa.table(
+            {
+                "doc_a": pa.array([], pa.int64()),
+                "doc_b": pa.array([], pa.int64()),
+                "hamming": pa.array([], pa.int64()),
+            }
+        )
+        if len(k) == 0:
+            return empty
+        starts, lens = _run_bounds(k)
+        dropped = lens[lens > max_bucket]
+        keep_runs = (lens >= 2) & (lens <= max_bucket)
+        a_idx, b_idx = _expand_pairs(starts[keep_runs], lens[keep_runs])
+        x = (s[a_idx] ^ s[b_idx]).view(np.uint64)
+        ham = (
+            np.unpackbits(x.view(np.uint8).reshape(-1, 8), axis=1)
+            .sum(axis=1)
+            .astype(np.int64)
+            if len(x)
+            else np.zeros(0, dtype=np.int64)
         )
         keep = ham <= 6
+        doc_a = np.concatenate(
+            [i[a_idx][keep], np.full(len(dropped), -1, np.int64)]
+        )
+        doc_b = np.concatenate(
+            [i[b_idx][keep], np.full(len(dropped), -1, np.int64)]
+        )
+        hams = np.concatenate([ham[keep], dropped.astype(np.int64)])
         return pa.table(
             {
-                "doc_a": pa.array(ids[iu][keep], type=pa.int64()),
-                "doc_b": pa.array(ids[ju][keep], type=pa.int64()),
-                "hamming": pa.array(ham[keep].astype(np.int64), type=pa.int64()),
+                "doc_a": pa.array(doc_a, type=pa.int64()),
+                "doc_b": pa.array(doc_b, type=pa.int64()),
+                "hamming": pa.array(hams, type=pa.int64()),
             }
         )
 
-    pairs = buckets.groupby(["chunk_no", "chunk_val"]).map_groups(
-        bucket_pairs, batch_format="pyarrow"
-    ).materialize()
-    drops = [
-        r["hamming"]
-        for r in pairs.map_batches(
-            lambda b: b.filter(pc.equal(b.column("doc_a"), -1)),
-            batch_format="pyarrow",
-        ).take_all()
-    ]
+    buckets = buckets.materialize()
+    if buckets.count() <= _DRIVER_PAIR_THRESHOLD:
+        bt = pa.concat_tables(
+            [p for p in ray.get(buckets.to_arrow_refs()) if p.num_rows]
+        )
+        pt = partition_pairs(bt.combine_chunks())
+    else:
+        pairs = (
+            buckets.map_batches(
+                make_pkey_adder("chunk_key"), batch_format="pyarrow"
+            )
+            .groupby("pkey")
+            .map_groups(partition_pairs, batch_format="pyarrow")
+        )
+        parts = ray.get(pairs.to_arrow_refs())
+        pt = pa.concat_tables([p for p in parts if p.num_rows])
+    if pt.num_rows == 0:
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "doc_a": pa.array([], pa.int64()),
+                    "doc_b": pa.array([], pa.int64()),
+                    "hamming": pa.array([], pa.int64()),
+                }
+            )
+        )
+    drops = pt.filter(pc.equal(pt.column("doc_a"), -1)).column(
+        "hamming"
+    ).to_pylist()
     if drops:
         logger.warning(
             "dd_simhash: dropped %d over-cap chunk buckets (sizes %s...)",
             len(drops),
             sorted(drops, reverse=True)[:5],
         )
-    return (
-        pairs.map_batches(
-            lambda b: b.filter(pc.not_equal(b.column("doc_a"), -1)),
-            batch_format="pyarrow",
-        )
-        .groupby(["doc_a", "doc_b"])
-        .map_groups(lambda g: g.slice(0, 1), batch_format="pyarrow")
-        .sort(["doc_a", "doc_b"])
+    uniq = (
+        pt.filter(pc.not_equal(pt.column("doc_a"), -1))
+        .group_by(["doc_a", "doc_b"])
+        .aggregate([("hamming", "min")])
+        .rename_columns(["doc_a", "doc_b", "hamming"])
     )
+    return rd.from_arrow(uniq).sort(["doc_a", "doc_b"])

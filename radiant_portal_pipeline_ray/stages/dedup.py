@@ -287,6 +287,94 @@ def candidate_pairs_from_buckets(
     )
 
 
+def make_pkey_adder(key_col: str, n_partitions: int = 64):
+    """Coarse hash-partition key for bucket co-location: millions of tiny
+    LSH/shingle buckets shuffle into ``n_partitions`` groups, so the pair
+    generator runs ONE vectorized Python call per partition instead of one
+    per bucket (Ray's ``map_groups`` iterates groups in Python — at 10^6+
+    buckets the per-group overhead dominates everything else)."""
+
+    def add(b: pa.Table) -> pa.Table:
+        k = b.column(key_col).to_numpy(zero_copy_only=False)
+        pk = (k.view(np.uint64) * _MIX) >> np.uint64(64 - 6) if n_partitions == 64 else (
+            (k.view(np.uint64) * _MIX) % np.uint64(n_partitions)
+        )
+        return b.append_column(
+            "pkey", pa.array(pk.astype(np.int32), type=pa.int32())
+        )
+
+    return add
+
+
+def _run_bounds(keys: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    starts = np.flatnonzero(np.concatenate([[True], keys[1:] != keys[:-1]]))
+    lens = np.diff(np.append(starts, len(keys)))
+    return starts, lens
+
+
+def _expand_pairs(starts: np.ndarray, lens: np.ndarray):
+    """Vectorized all-unordered-pairs index generation for variable-length
+    runs: returns (a_idx, b_idx) global indices with a < b within each run."""
+    tot = int(lens.sum())
+    if tot == 0:
+        z = np.zeros(0, dtype=np.int64)
+        return z, z
+    run_off = np.cumsum(lens) - lens  # first element offset per run
+    j = np.arange(tot) - np.repeat(run_off, lens)  # pos within run
+    el = np.repeat(starts, lens) + j  # global element index
+    rep = np.repeat(lens, lens) - 1 - j  # pairs per element
+    a_idx = np.repeat(el, rep)
+    pair_off = np.cumsum(rep) - rep
+    off = np.arange(int(rep.sum())) - np.repeat(pair_off, rep)
+    b_idx = a_idx + off + 1
+    return a_idx, b_idx
+
+
+def make_partitioned_pair_generator(
+    key_col: str, id_col: str = "doc_id", max_bucket: int | None = None
+):
+    """One pkey partition (containing MANY buckets) → all within-bucket
+    unordered id pairs, fully vectorized (lexsort → run detection →
+    arithmetic pair expansion). Over-cap buckets emit a ``(-1, -1, m)``
+    marker row each (frequent-shingle drop, logged by the caller)."""
+
+    def gen(group: pa.Table) -> pa.Table:
+        k = group.column(key_col).to_numpy(zero_copy_only=False)
+        i = group.column(id_col).to_numpy(zero_copy_only=False)
+        order = np.lexsort((i, k))
+        k, i = k[order], i[order]
+        if len(k):  # distinct (key, id)
+            first = np.concatenate(
+                [[True], (k[1:] != k[:-1]) | (i[1:] != i[:-1])]
+            )
+            k, i = k[first], i[first]
+        if len(k) == 0:
+            return pa.Table.from_pydict(
+                {"doc_a": [], "doc_b": [], "dropped_bucket": []},
+                schema=_PAIRS_SCHEMA,
+            )
+        starts, lens = _run_bounds(k)
+        cap = max_bucket if max_bucket is not None else np.iinfo(np.int64).max
+        dropped = lens[lens > cap]
+        keep = (lens >= 2) & (lens <= cap)
+        a_idx, b_idx = _expand_pairs(starts[keep], lens[keep])
+        doc_a = np.concatenate([i[a_idx], np.full(len(dropped), -1, np.int64)])
+        doc_b = np.concatenate([i[b_idx], np.full(len(dropped), -1, np.int64)])
+        marker = np.concatenate(
+            [np.zeros(len(a_idx), dtype=np.int64), dropped.astype(np.int64)]
+        )
+        return pa.table(
+            {
+                "doc_a": pa.array(doc_a, type=pa.int64()),
+                "doc_b": pa.array(doc_b, type=pa.int64()),
+                "dropped_bucket": pa.array(marker, type=pa.int64()),
+            },
+            schema=_PAIRS_SCHEMA,
+        )
+
+    return gen
+
+
 class SimHashStage:
     """64-bit SimHash over whitespace tokens — vectorized: polars token
     hashes, per-bit per-doc vote via ``np.bincount`` (64 passes, no Python
@@ -347,15 +435,23 @@ class JaccardVerifyStage:
     ``ray.ObjectRef`` so the dict ships through the object store once."""
 
     def __init__(self, shingles_by_id, num: int, den: int, k: int = 3):
-        import ray
-
-        if isinstance(shingles_by_id, ray.ObjectRef):
-            shingles_by_id = ray.get(shingles_by_id)
-        self.sh = shingles_by_id
+        #: may be a ray.ObjectRef — resolved lazily on the FIRST batch so the
+        #: fetch happens on the worker (instances run as plain tasks; an
+        #: eager ray.get here would pull the dict onto the driver)
+        self._sh_ref = shingles_by_id
+        self.sh: dict | None = None
         self.num = num
         self.den = den
 
+    def _resolve(self):
+        if self.sh is None:
+            import ray
+
+            obj = self._sh_ref
+            self.sh = ray.get(obj) if isinstance(obj, ray.ObjectRef) else obj
+
     def __call__(self, batch: pa.Table) -> pa.Table:
+        self._resolve()
         a_ids = batch.column("doc_a").to_numpy(zero_copy_only=False)
         b_ids = batch.column("doc_b").to_numpy(zero_copy_only=False)
         n = len(a_ids)
