@@ -27,6 +27,10 @@ class EngineConfig:
     salt_threshold_rows: int = 250_000
     #: target rows per salted sub-partition when splitting a hot domain.
     salt_target_rows: int = 150_000
+    #: growth factor for one-shot salting: allocate enough salt partitions
+    #: for ``salt_headroom``× the observed volume so a growing hot domain
+    #: migrates once, not once per doubling (state/partitioner.py).
+    salt_headroom: float = 4.0
 
     # --- merge / write --------------------------------------------------
     #: split a partition's snapshot into multiple files above this row count
@@ -48,6 +52,21 @@ class EngineConfig:
     #: per-partition hash-index actor pool (state/id_index.py) is the
     #: alternative for pipelines whose keyed state must outlive a shuffle.
     doc_id_part_shift: int = 40
+
+    # --- exchange -------------------------------------------------------
+    #: how event rows reach their partition's merge task:
+    #: - "actor": streaming shard-actor exchange (stages/exchange.py) —
+    #:   normalize overlaps the exchange, no sort/materialize barrier;
+    #:   at-least-once pushes (safe: LWW merge is idempotent to duplicate
+    #:   delivery), whole-round restart on shard-actor loss.
+    #: - "sort": Ray Data ``groupby(part).map_groups`` sort shuffle —
+    #:   per-task retries, but normalize must fully materialize before the
+    #:   sort samples boundaries (an idle barrier per round).
+    #: Default "sort": measured faster on the single-node bench (the actor
+    #: path's per-push serialization outweighs the removed barrier when all
+    #: shards share one memory bus); "actor" is the streaming alternative
+    #: for deployments where the exchange crosses a network.
+    exchange: str = "sort"
 
     # --- ray data knobs -------------------------------------------------
     #: batch size for normalize map_batches; html payloads are ~KB so this

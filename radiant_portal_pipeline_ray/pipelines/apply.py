@@ -137,6 +137,7 @@ class CdcEngine:
             hot_counts=dict(current.metrics.get("hot_counts", {})) if current else {},
             salt_threshold_rows=cfg.salt_threshold_rows,
             salt_target_rows=cfg.salt_target_rows,
+            salt_headroom=cfg.salt_headroom,
         )
 
         # ---- schema discovery & unification (driver-side footer reads) ----
@@ -177,6 +178,23 @@ class CdcEngine:
         # round yields ~2 read tasks and normalize can't use the cluster
         # (splits land on parquet row-group boundaries)
         read_blocks = self._read_parallelism()
+        if cfg.exchange == "actor":
+            report = self._apply_actor_exchange(
+                t0,
+                timings,
+                _lap,
+                current,
+                partitioner,
+                file_schemas,
+                filt,
+                read_blocks,
+                event_schema,
+                union_schema,
+                snapshot_schema,
+                watermarks,
+                _noop_report,
+            )
+            return report
         delta = None
         for _, (sch, group_paths) in sorted(file_schemas.items()):
             ds = rd.read_parquet(
@@ -228,13 +246,28 @@ class CdcEngine:
         _lap("scout")
 
         # ---- carried-forward side -----------------------------------------
+        # Routing is only changing for partitions involved in a pending salt
+        # migration; ONLY their carried rows enter the shuffle (the snapshot
+        # caster re-routes them). Every other changed partition's carried
+        # rows are read LOCALLY inside its merge task from the committed
+        # per-partition files — the exchange carries just the delta.
+        migration_parts: set[int] = set()
+        for d, old_parts in pending.items():
+            migration_parts.update(old_parts)
+            migration_parts.update(partitioner.salt_map.get(d, []))
         combined = delta
         old_files = []
+        local_carry: dict[int, list[str]] = {}
         if current:
             for p in sorted(changed_parts):
                 st = current.partitions.get(p)
-                if st:
-                    old_files.extend(self.lake.abspath(f) for f in st.files)
+                if not st:
+                    continue
+                paths_p = [self.lake.abspath(f) for f in st.files]
+                if p in migration_parts:
+                    old_files.extend(paths_p)
+                elif paths_p:
+                    local_carry[p] = paths_p
         if old_files:
             caster = make_snapshot_caster(
                 union_schema, cfg.n_parts, partitioner.salt_map
@@ -264,15 +297,219 @@ class CdcEngine:
             doc_id_part_shift=cfg.doc_id_part_shift,
             target_rows_per_file=cfg.target_rows_per_file,
             compression=cfg.compression,
+            local_carry_files=local_carry,
+            union_schema=union_schema,
         )
         meta_ds = combined.groupby("part").map_groups(writer, batch_format="pyarrow")
         meta_rows = meta_ds.take_all()
         if self.debug_stats:
             self.last_stats["merge"] = meta_ds.stats()
         _lap("merge")
+        # Ray Data plan objects are reference cycles; without an explicit
+        # collect the dropped per-round Datasets pin their materialized
+        # blocks in the object store across rounds (measured: +0.5 GB and
+        # 2x slower apply by round 4 of a replay). ~10 ms, once per round.
+        del delta, combined, meta_ds
+        import gc
+
+        gc.collect()
+        return self._post_merge(
+            t0,
+            timings,
+            _lap,
+            current,
+            partitioner,
+            meta_rows,
+            pending,
+            txn_id,
+            snapshot_schema,
+            watermarks,
+            _noop_report,
+        )
+
+    # ------------------------------------------------------------------
+    def _apply_actor_exchange(
+        self,
+        t0,
+        timings,
+        _lap,
+        current,
+        partitioner,
+        file_schemas,
+        filt,
+        read_blocks,
+        event_schema,
+        union_schema,
+        snapshot_schema,
+        watermarks,
+        noop_report,
+    ) -> dict:
+        """Streaming apply round: normalize map tasks push partition-routed
+        sub-tables into shard actors WHILE reading (no sort, no boundary
+        sampling, no materialize barrier); per-shard finalize merges + stages.
+        See stages/exchange.py for the exchange's retry/failure contract."""
+        import gc
+
+        import ray
+
+        from radiant_portal_pipeline_ray.stages.exchange import (
+            MergeShard,
+            run_exchange,
+        )
+
+        cfg = self.cfg
+        normalizer = make_event_normalizer(
+            event_schema,
+            union_schema,
+            cfg.n_parts,
+            partitioner.salt_map,
+            watermarks,
+            partitioner.max_part_id(),
+        )
+        cpus = (
+            int(ray.cluster_resources().get("CPU", 8))
+            if ray.is_initialized()
+            else 8
+        )
+        n_shards = max(4, min(cpus, partitioner.max_part_id() + 1))
+        shards = [MergeShard.remote(i, n_shards) for i in range(n_shards)]
+        _lap("plan")
+        try:
+            from radiant_portal_pipeline_ray.stages.exchange import (
+                build_exchange,
+                consume_stats,
+            )
+
+            # migration topology is known from the committed manifest, so the
+            # delta exchange AND the migrating-partition carried exchange are
+            # built upfront and consumed in ONE streaming execution
+            pending = dict(current.pending_migrations) if current else {}
+            migration_parts: set[int] = set()
+            for d, old_parts in pending.items():
+                migration_parts.update(old_parts)
+                migration_parts.update(partitioner.salt_map.get(d, []))
+            mig_files: list[str] = []
+            if current:
+                for p in sorted(migration_parts):
+                    st = current.partitions.get(p)
+                    if st:
+                        mig_files.extend(self.lake.abspath(f) for f in st.files)
+
+            # one exchange branch per schema group (normalize aligns schemas
+            # INSIDE the transform, so raw reads must not be unioned)
+            stats = None
+            for _, (sch, group_paths) in sorted(file_schemas.items()):
+                ds = rd.read_parquet(
+                    group_paths, filter=filt, override_num_blocks=read_blocks
+                )
+                st_ds = build_exchange(ds, normalizer, shards, n_shards)
+                stats = st_ds if stats is None else stats.union(st_ds)
+            if mig_files:
+                caster = make_snapshot_caster(
+                    union_schema, cfg.n_parts, partitioner.salt_map
+                )
+                st_ds = build_exchange(
+                    rd.read_parquet(mig_files, override_num_blocks=read_blocks),
+                    caster,
+                    shards,
+                    n_shards,
+                )
+                stats = st_ds if stats is None else stats.union(st_ds)
+            events_pushed, parts_seen = consume_stats(stats)
+
+            changed_parts = set(parts_seen)
+            for d, old_parts in pending.items():
+                changed_parts.update(old_parts)
+                changed_parts.update(partitioner.salt_map.get(d, []))
+            if not changed_parts:
+                return noop_report(0)
+
+            # stable changed partitions merge their committed files locally
+            local_carry: dict[int, list[str]] = {}
+            if current:
+                for p in sorted(changed_parts - migration_parts):
+                    st = current.partitions.get(p)
+                    if st and st.files:
+                        local_carry[p] = [
+                            self.lake.abspath(f) for f in st.files
+                        ]
+            _lap("scout")
+
+            # ---- per-shard finalize: merge + staged write -----------------
+            from radiant_portal_pipeline_ray.stages.merge import MergeKernel
+
+            txn_id = self.lake.new_txn_id()
+            staging = self.lake.staging_dir(txn_id)
+            kernel = MergeKernel(
+                txn_id=txn_id,
+                staging_dir=staging,
+                snapshot_schema=snapshot_schema,
+                next_doc_seq={
+                    p: st.next_doc_seq
+                    for p, st in (
+                        current.partitions.items() if current else []
+                    )
+                },
+                doc_id_part_shift=cfg.doc_id_part_shift,
+                target_rows_per_file=cfg.target_rows_per_file,
+                compression=cfg.compression,
+                local_carry_files=local_carry,
+                union_schema=union_schema,
+            )
+            # changed parts that never pushed a row (e.g. local-carry-only
+            # partitions of a migrating domain) still need a merge pass
+            silent = changed_parts - parts_seen
+            extra = {i: [] for i in range(n_shards)}
+            for p in silent:
+                extra[p % n_shards].append(p)
+            metas = ray.get(
+                [
+                    s.finalize.remote(kernel, extra[i])
+                    for i, s in enumerate(shards)
+                ]
+            )
+            meta_rows = [m for sub in metas for m in sub]
+            _lap("merge")
+        finally:
+            for s in shards:
+                ray.kill(s)
+            del shards
+            gc.collect()
+        return self._post_merge(
+            t0,
+            timings,
+            _lap,
+            current,
+            partitioner,
+            meta_rows,
+            pending,
+            txn_id,
+            snapshot_schema,
+            watermarks,
+            noop_report,
+        )
+
+    # ------------------------------------------------------------------
+    def _post_merge(
+        self,
+        t0,
+        timings,
+        _lap,
+        current,
+        partitioner,
+        meta_rows,
+        pending,
+        txn_id,
+        snapshot_schema,
+        watermarks,
+        noop_report,
+    ) -> dict:
+        """Shared tail of an apply round (both exchange paths): salting
+        decisions from merge metadata, watermark seeding, two-phase commit,
+        report assembly, optional post-commit QA."""
         events_seen = sum(int(m["events_in"]) for m in meta_rows)
         if not meta_rows:
-            return _noop_report(events_seen)
+            return noop_report(events_seen)
 
         # ---- deferred salting: decide from the merge's heavy-hitter counts;
         # migrations execute on the NEXT apply via pending_migrations -------
@@ -316,14 +553,6 @@ class CdcEngine:
             timings=timings,
         )
         _lap("commit")
-        # Ray Data plan objects are reference cycles; without an explicit
-        # collect the dropped per-round Datasets pin their materialized
-        # blocks in the object store across rounds (measured: +0.5 GB and
-        # 2x slower apply by round 4 of a replay). ~10 ms, once per round.
-        del delta, combined, meta_ds
-        import gc
-
-        gc.collect()
         report.update(
             {
                 "events_in": events_seen,

@@ -35,6 +35,8 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
+from radiant_portal_pipeline_ray.schemas import align_table
+
 META_SCHEMA = pa.schema(
     [
         pa.field("part", pa.int32()),
@@ -55,18 +57,59 @@ META_SCHEMA = pa.schema(
 )
 
 
-def make_merge_writer(
-    txn_id: str,
-    staging_dir: str,
-    snapshot_schema: pa.Schema,
-    next_doc_seq: dict[int, int],
-    doc_id_part_shift: int,
-    target_rows_per_file: int,
-    compression: str,
-):
-    def merge_group(group: pa.Table) -> pa.Table:
-        group = group.combine_chunks()
-        part = group.column("part")[0].as_py()
+class MergeKernel:
+    """Shared per-partition LWW merge + staged-write kernel, used by BOTH
+    exchange implementations (the Dataset ``groupby(part).map_groups`` sort
+    path and the streaming actor exchange in stages/exchange.py)."""
+
+    def __init__(
+        self,
+        txn_id: str,
+        staging_dir: str,
+        snapshot_schema: pa.Schema,
+        next_doc_seq: dict[int, int],
+        doc_id_part_shift: int,
+        target_rows_per_file: int,
+        compression: str,
+        local_carry_files: dict[int, list[str]] | None = None,
+        union_schema: pa.Schema | None = None,
+    ):
+        self.txn_id = txn_id
+        self.staging_dir = staging_dir
+        self.snapshot_schema = snapshot_schema
+        self.next_doc_seq = dict(next_doc_seq)
+        self.doc_id_part_shift = doc_id_part_shift
+        self.target_rows_per_file = target_rows_per_file
+        self.compression = compression
+        self.local_carry_files = dict(local_carry_files or {})
+        self.union_schema = union_schema
+
+    def merge_partition(self, group: pa.Table, part: int) -> dict:
+        """One partition's event rows (+ shuffled carried rows, if routing is
+        changing) → url-sorted staged file(s) + one metadata dict."""
+        carry = self.local_carry_files.get(part)
+        if carry:
+            # stable partition: carried-forward rows read LOCALLY from the
+            # committed per-partition lake files — they never shuffled
+            old = pa.concat_tables(
+                [pq.read_table(f) for f in carry],
+                promote_options="permissive",
+            )
+            old = align_table(old, self.union_schema or group.schema)
+            n_old = old.num_rows
+            old = old.set_column(
+                old.schema.get_field_index("op"),
+                pa.field("op", pa.string()),
+                pa.array(["S"] * n_old, type=pa.string()),
+            )
+            old = old.set_column(
+                old.schema.get_field_index("part"),
+                pa.field("part", pa.int32()),
+                pa.array(np.full(n_old, part, dtype=np.int32)),
+            )
+            group = pa.concat_tables(
+                [align_table(group, old.schema), old]
+            ).combine_chunks()
 
         idx = pc.sort_indices(
             group,
@@ -100,7 +143,9 @@ def make_merge_writer(
             .to_numpy(zero_copy_only=False)
             .astype(bool)
         )
-        deleted_flag = np.where(w_ops == "D", True, np.where(w_ops == "S", prev_deleted, False))
+        deleted_flag = np.where(
+            w_ops == "D", True, np.where(w_ops == "S", prev_deleted, False)
+        )
         live = winners.set_column(
             winners.schema.get_field_index("deleted"),
             pa.field("deleted", pa.bool_()),
@@ -127,10 +172,10 @@ def make_merge_writer(
         doc_np = (
             pc.fill_null(doc, 0).to_numpy(zero_copy_only=False).astype(np.int64)
         )
-        seq0 = int(next_doc_seq.get(part, 0))
+        seq0 = int(self.next_doc_seq.get(part, 0))
         n_new = int(missing.sum())
         if n_new:
-            base = np.int64(part) << np.int64(doc_id_part_shift)
+            base = np.int64(part) << np.int64(self.doc_id_part_shift)
             doc_np[missing] = base + seq0 + np.arange(n_new, dtype=np.int64)
         doc = pa.array(doc_np, type=pa.int64())
         live = live.set_column(
@@ -177,35 +222,68 @@ def make_merge_writer(
         )
 
         # project to the snapshot schema (drops op) and write staged files
-        cols = [live.column(f.name).cast(f.type) for f in snapshot_schema]
-        out = pa.Table.from_arrays(cols, schema=snapshot_schema)
-        part_dir = os.path.join(staging_dir, f"part={part}")
+        cols = [live.column(f.name).cast(f.type) for f in self.snapshot_schema]
+        out = pa.Table.from_arrays(cols, schema=self.snapshot_schema)
+        part_dir = os.path.join(self.staging_dir, f"part={part}")
         os.makedirs(part_dir, exist_ok=True)
         files, total_bytes = [], 0
-        n_files = max(1, -(-out.num_rows // target_rows_per_file)) if out.num_rows else 0
+        tpf = self.target_rows_per_file
+        n_files = max(1, -(-out.num_rows // tpf)) if out.num_rows else 0
         for i in range(n_files):
-            chunk = out.slice(i * target_rows_per_file, target_rows_per_file)
-            path = os.path.join(part_dir, f"{txn_id}-{part}-{i:04d}.parquet")
-            pq.write_table(chunk, path, compression=compression)
+            chunk = out.slice(i * tpf, tpf)
+            path = os.path.join(part_dir, f"{self.txn_id}-{part}-{i:04d}.parquet")
+            pq.write_table(chunk, path, compression=self.compression)
             files.append(os.path.basename(path))
             total_bytes += os.path.getsize(path)
 
-        return pa.Table.from_pydict(
-            {
-                "part": [part],
-                "files": [files],
-                "rows": [out.num_rows - n_tombstones],
-                "tombstones": [n_tombstones],
-                "bytes": [total_bytes],
-                "max_lsn": [max_lsn],
-                "rows_upserted": [rows_upserted],
-                "rows_deleted": [rows_deleted],
-                "rows_carried": [rows_carried],
-                "events_in": [events_in],
-                "next_doc_seq": [seq0 + n_new],
-                "top_domains": [top_domains],
-            },
-            schema=META_SCHEMA,
-        )
+        return {
+            "part": part,
+            "files": files,
+            "rows": out.num_rows - n_tombstones,
+            "tombstones": n_tombstones,
+            "bytes": total_bytes,
+            "max_lsn": max_lsn,
+            "rows_upserted": rows_upserted,
+            "rows_deleted": rows_deleted,
+            "rows_carried": rows_carried,
+            "events_in": events_in,
+            "next_doc_seq": seq0 + n_new,
+            "top_domains": top_domains,
+        }
+
+
+def meta_dict_to_table(m: dict) -> pa.Table:
+    return pa.Table.from_pydict({k: [m[k]] for k in META_SCHEMA.names}, schema=META_SCHEMA)
+
+
+def make_merge_writer(
+    txn_id: str,
+    staging_dir: str,
+    snapshot_schema: pa.Schema,
+    next_doc_seq: dict[int, int],
+    doc_id_part_shift: int,
+    target_rows_per_file: int,
+    compression: str,
+    local_carry_files: dict[int, list[str]] | None = None,
+    union_schema: pa.Schema | None = None,
+):
+    """Dataset ``groupby(part).map_groups`` wrapper around MergeKernel (the
+    sort-exchange path; stages/exchange.py is the streaming path)."""
+    kernel = MergeKernel(
+        txn_id,
+        staging_dir,
+        snapshot_schema,
+        next_doc_seq,
+        doc_id_part_shift,
+        target_rows_per_file,
+        compression,
+        local_carry_files,
+        union_schema,
+    )
+
+    def merge_group(group: pa.Table) -> pa.Table:
+        group = group.combine_chunks()
+        part = group.column("part")[0].as_py()
+        return meta_dict_to_table(kernel.merge_partition(group, part))
 
     return merge_group

@@ -32,6 +32,13 @@ class Partitioner:
     hot_counts: dict[str, int] = field(default_factory=dict)
     salt_threshold_rows: int = 250_000
     salt_target_rows: int = 150_000
+    #: over-allocate salt partitions by this growth factor so a steadily
+    #: growing hot domain migrates ONCE instead of re-salting (and
+    #: re-migrating its full history) every time its count doubles — the
+    #: repeated-migration rounds were the measured straggler spikes in the
+    #: replay bench. Re-salt only happens after the domain outgrows the
+    #: headroom.
+    salt_headroom: float = 4.0
 
     def __post_init__(self):
         if self.next_part < self.n_parts:
@@ -56,7 +63,10 @@ class Partitioner:
                 self.hot_counts[d] = cum
             if cum < self.salt_threshold_rows:
                 continue
-            want_k = max(2, -(-cum // self.salt_target_rows))
+            want_k = max(
+                2,
+                -(-int(cum * self.salt_headroom) // self.salt_target_rows),
+            )
             cur = self.salt_map.get(d)
             if cur is not None and len(cur) >= want_k:
                 continue
