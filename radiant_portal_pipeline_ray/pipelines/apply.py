@@ -328,6 +328,35 @@ class CdcEngine:
         )
 
     # ------------------------------------------------------------------
+    def apply_backlog(self, jobs: list[dict]) -> list[dict]:
+        """Priority-ordered work-list (W4): a backlog of pending changelog
+        work units applied in ascending ``priority`` (the reference's
+        STAT < ASAP < URGENT < ROUTINE ordering of per-partition import
+        runs, `radiant/tasks/starrocks/partition.py:234-256` /
+        `radiant/dags/import_radiant.py:180-189`); ties keep submission
+        order.
+
+        Each job is ``{"paths": <changelog paths>, "priority": int}``. As in
+        the reference, a work unit is partition-scoped (one import-part run
+        per partition): reordering is only meaningful across jobs touching
+        DIFFERENT partitions — two jobs tailing the same partition must be
+        submitted in lsn order, since the per-partition watermark drops any
+        event at-or-below it (idempotence guard). Returns the reports in
+        EXECUTION order, each annotated with its submission index.
+        """
+        order = sorted(
+            range(len(jobs)),
+            key=lambda i: (jobs[i].get("priority", 1_000_000), i),
+        )
+        out = []
+        for i in order:
+            rep = self.apply(jobs[i]["paths"])
+            rep["job_index"] = i
+            rep["priority"] = jobs[i].get("priority", 1_000_000)
+            out.append(rep)
+        return out
+
+    # ------------------------------------------------------------------
     def _apply_actor_exchange(
         self,
         t0,
@@ -565,11 +594,31 @@ class CdcEngine:
         )
         if self.cfg.run_qa:
             from radiant_portal_pipeline_ray.stages.qa import (
+                cross_exclusive,
                 run_checks,
                 snapshot_checks,
             )
 
-            report["qa"] = run_checks(self.read_snapshot(), snapshot_checks())
+            qa = run_checks(self.read_snapshot(), snapshot_checks())
+            man = self.lake.current_manifest()
+            files = [
+                self.lake.abspath(f)
+                for st in man.partitions.values()
+                for f in st.files
+            ]
+            if files:
+                # cross-table exclusivity (A8 analogue): a url must never be
+                # both live and tombstoned in one committed snapshot
+                live = rd.read_parquet(
+                    files, columns=["url"], filter=~pc.field("deleted")
+                )
+                tomb = rd.read_parquet(
+                    files, columns=["url"], filter=pc.field("deleted")
+                )
+                ce = cross_exclusive(live, tomb, "url")
+                qa["checks"]["live_tombstone_exclusive"] = ce
+                qa["passed"] = qa["passed"] and ce["ok"]
+            report["qa"] = qa
         return report
 
     # ------------------------------------------------------------------
@@ -673,6 +722,7 @@ class CdcEngine:
                 txn_id=txn_id,
                 parent_version=base.version if base else None,
                 schema=snapshot_schema,
+                n_parts=self.cfg.n_parts,
                 partitions=parts,
                 salt_map=partitioner.salt_map,
                 pending_migrations=pending_next,

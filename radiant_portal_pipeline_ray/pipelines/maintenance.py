@@ -229,6 +229,7 @@ def compact(
             txn_id=txn_id,
             parent_version=base.version,
             schema=base.schema,
+            n_parts=base.n_parts,
             partitions=parts,
             salt_map=base.salt_map,
             pending_migrations=base.pending_migrations,

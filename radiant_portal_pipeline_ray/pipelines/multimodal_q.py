@@ -93,10 +93,20 @@ def mm_frame_samples(sf_dir: str):
 
 # ---------------------------------------------------------------------------
 # image feature extraction: actor-pool stage, payload dropped before any
-# downstream exchange (project-before-shuffle). Rows-only for the driver
-# (digest features are not SQL-expressible); determinism is pytest-checked.
+# downstream exchange (project-before-shuffle). The stubbed decode derives
+# features from md5(payload), so the oracle reproduces the full vector.
 # ---------------------------------------------------------------------------
-@_register("mm_image_features", None)
+@_register(
+    "mm_image_features",
+    """
+    SELECT doc_id AS media_id,
+           list_transform(range(0, 16), i ->
+             (CAST('0x' || substr(md5(text), 2*i + 1, 2) AS INTEGER) - 127.5)
+               / 128.0
+           ) AS features
+    FROM documents ORDER BY media_id
+    """,
+)
 def mm_image_features(sf_dir: str):
     media = _media_from_documents(sf_dir)
     feats = media.map_batches(

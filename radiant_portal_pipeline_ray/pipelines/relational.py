@@ -191,15 +191,25 @@ def q_region_revenue(sf_dir: str):
     ORDER BY c_custkey
     """,
 )
-def q_customers_without_orders(sf_dir: str):
+def q_customers_without_orders(sf_dir: str, broadcast_limit: int = 5_000_000):
+    """Anti join. Small key side → broadcast key-set filter; above
+    ``broadcast_limit`` distinct keys → hash-partitioned ``left anti`` join
+    (reference J3's any-size ``LEFT ANTI JOIN``,
+    `variant_lookup_insert_hashes.sql:1-6`)."""
     cutoff = pa.scalar(np.datetime64("2001-01-01T00:00:00", "us"))
-    seen = read_parquet_clean(
+    keys_ds = read_parquet_clean(
         _pq(sf_dir, "orders"),
         columns=["o_custkey", "o_orderdate"],
         filter=pc.field("o_orderdate") >= cutoff,
-    ).unique("o_custkey")
-    key_set = pa.table({"o_custkey": pa.array(sorted(seen), type=pa.int64())})
+    ).select_columns(["o_custkey"])
     cust = read_parquet_clean(_pq(sf_dir, "customer"), columns=["c_custkey", "c_name"])
+    if keys_ds.count() > broadcast_limit:
+        anti = hash_partitioned_join(
+            cust, keys_ds, "c_custkey", "o_custkey", how="anti"
+        )
+        return anti.select_columns(["c_custkey", "c_name"]).sort("c_custkey")
+    seen = keys_ds.unique("o_custkey")
+    key_set = pa.table({"o_custkey": pa.array(sorted(seen), type=pa.int64())})
     anti = cust.map_batches(
         make_semi_filter(["c_custkey"], key_set, invert=True),
         batch_format="pyarrow",
@@ -221,15 +231,27 @@ def q_customers_without_orders(sf_dir: str):
     ORDER BY p_partkey
     """,
 )
-def q_parts_shipped_recently(sf_dir: str):
+def q_parts_shipped_recently(sf_dir: str, broadcast_limit: int = 5_000_000):
+    """Semi join with the same broadcast/partitioned switch as the anti."""
     cutoff = pa.scalar(np.datetime64("2000-06-01T00:00:00", "us"))
-    keys = read_parquet_clean(
+    keys_ds = read_parquet_clean(
         _pq(sf_dir, "lineitem"),
         columns=["l_partkey", "l_shipdate"],
         filter=pc.field("l_shipdate") > cutoff,
-    ).unique("l_partkey")
-    key_set = pa.table({"l_partkey": pa.array(sorted(keys), type=pa.int64())})
+    ).select_columns(["l_partkey"])
     part = read_parquet_clean(_pq(sf_dir, "part"), columns=["p_partkey", "p_name"])
+    if keys_ds.count() > broadcast_limit:
+        # pre-distinct the key side so the per-bucket semi probe stays small
+        def batch_distinct(b: pa.Table) -> pa.Table:
+            return b.group_by("l_partkey").aggregate([])
+
+        keys_d = keys_ds.map_batches(batch_distinct, batch_format="pyarrow")
+        semi = hash_partitioned_join(
+            part, keys_d, "p_partkey", "l_partkey", how="semi"
+        )
+        return semi.select_columns(["p_partkey", "p_name"]).sort("p_partkey")
+    keys = keys_ds.unique("l_partkey")
+    key_set = pa.table({"l_partkey": pa.array(sorted(keys), type=pa.int64())})
     return part.map_batches(
         make_semi_filter(["p_partkey"], key_set), batch_format="pyarrow"
     ).sort("p_partkey")
@@ -385,13 +407,26 @@ def q_distinct_flag_status(sf_dir: str):
     """,
 )
 def q_union_distinct_custkeys(sf_dir: str):
+    """Distributed distinct count: per-batch dedup (combiner) → one keyed
+    groupby.count() → count of groups. Only the scalar reaches the driver —
+    never the distinct key set itself."""
     a = read_parquet_clean(_pq(sf_dir, "orders"), columns=["o_custkey"]).map_batches(
         lambda b: b.rename_columns(["custkey"]), batch_format="pyarrow"
     )
     b = read_parquet_clean(_pq(sf_dir, "customer"), columns=["c_custkey"]).map_batches(
         lambda t: t.rename_columns(["custkey"]), batch_format="pyarrow"
     )
-    n = len(a.union(b).unique("custkey"))
+
+    def batch_distinct(t: pa.Table) -> pa.Table:
+        return t.group_by("custkey").aggregate([])
+
+    n = (
+        a.union(b)
+        .map_batches(batch_distinct, batch_format="pyarrow")
+        .groupby("custkey")
+        .count()
+        .count()
+    )
     return pa.table({"n_keys": pa.array([n], type=pa.int64())})
 
 
@@ -709,3 +744,64 @@ def q_shipped_within_60d(sf_dir: str):
         ),
         batch_format="pyarrow",
     ).sort("o_orderpriority")
+
+
+# ---------------------------------------------------------------------------
+# J2: composite-key LEFT join with a rank-1 prefiltered right side
+# ref: germline_snv_occurrence_insert_partition_delta.sql:65-72 — occurrence
+# LEFT JOIN exomiser ON (seq_id, locus_id) with variant_rank=1 subquery
+# ---------------------------------------------------------------------------
+@_register(
+    "q_left_join_rank1",
+    """
+    WITH r1 AS (
+      SELECT l_orderkey, l_linestatus, l_extendedprice, l_linenumber FROM (
+        SELECT l_orderkey, l_linestatus, l_extendedprice, l_linenumber,
+               row_number() OVER (
+                 PARTITION BY l_orderkey, l_linestatus
+                 ORDER BY l_extendedprice DESC, l_linenumber DESC) AS rn
+        FROM lineitem) t WHERE rn = 1
+    )
+    SELECT o.o_orderkey, o.o_orderstatus,
+           CAST(ROUND(o.o_totalprice*100) AS BIGINT) AS totalprice_c,
+           CAST(ROUND(r1.l_extendedprice*100) AS BIGINT) AS top_price_c,
+           r1.l_linenumber AS top_linenumber
+    FROM orders o LEFT JOIN r1
+      ON o.o_orderkey = r1.l_orderkey AND o.o_orderstatus = r1.l_linestatus
+    ORDER BY o_orderkey
+    """,
+)
+def q_left_join_rank1(sf_dir: str):
+    li = read_parquet_clean(
+        _pq(sf_dir, "lineitem"),
+        columns=["l_orderkey", "l_linestatus", "l_extendedprice", "l_linenumber"],
+    )
+    r1 = topk_per_key(
+        li,
+        ["l_orderkey", "l_linestatus"],
+        [("l_extendedprice", "descending"), ("l_linenumber", "descending")],
+        k=1,
+    )
+    orders = read_parquet_clean(
+        _pq(sf_dir, "orders"),
+        columns=["o_orderkey", "o_orderstatus", "o_totalprice"],
+    )
+    joined = hash_partitioned_join(
+        orders,
+        r1,
+        ["o_orderkey", "o_orderstatus"],
+        ["l_orderkey", "l_linestatus"],
+        how="left",
+    )
+    return joined.map_batches(
+        lambda b: pa.table(
+            {
+                "o_orderkey": b.column("o_orderkey"),
+                "o_orderstatus": b.column("o_orderstatus"),
+                "totalprice_c": _to_cents(b.column("o_totalprice")),
+                "top_price_c": _to_cents(b.column("l_extendedprice")),
+                "top_linenumber": pc.cast(b.column("l_linenumber"), pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    ).sort("o_orderkey")

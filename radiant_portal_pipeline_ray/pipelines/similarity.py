@@ -8,9 +8,10 @@
   INTEGER arithmetic (round(x*1000) int64): float64 BLAS matmul is exact for
   these magnitudes (<2^53), the threshold 400·dot² ≥ 49·|a|²·|b|² is checked
   in arbitrary-precision ints — bit-identical to the HUGEINT SQL oracle.
-- ``sim_ann_lsh``: random-hyperplane LSH bucketing — the 10^10-row path
-  (candidates share a signature bucket; no full scan); rows-only, recall
-  measured against brute force in pytest.
+- ``sim_ann_lsh``: MULTI-TABLE random-hyperplane LSH bucketing (union of
+  tables, dedup) — effective in the high-cosine regime; rows-only.
+- ``sim_ann_ivf``: spherical-k-means IVF with index-side multi-probe — the
+  data-adaptive scale path; recall@10 ≥ 0.9 vs brute force in pytest.
 """
 
 from __future__ import annotations
@@ -163,15 +164,19 @@ def sim_neardup_pairs_q(sf_dir: str):
 
 # ---------------------------------------------------------------------------
 @_register("sim_ann_lsh", None)  # approximate — rows-only; recall in pytest
-def sim_ann_lsh(sf_dir: str):
-    """LSH-bucketed approximate neighbors: vectors sharing a 12-bit
-    hyperplane signature are candidate neighbors; emit per-bucket pairwise
-    cosines ≥ 0.2. At 10^10 rows this is the only feasible shape — the
-    bucket groupby replaces the all-pairs scan."""
+def sim_ann_lsh(sf_dir: str, n_planes: int = 12, n_tables: int = 8):
+    """Multi-table LSH approximate neighbors: vectors sharing ANY of the
+    ``n_tables`` hyperplane-signature buckets are candidates (union →
+    dedup); emit pairwise cosines ≥ 0.2. The bucket groupby replaces the
+    all-pairs scan. Hyperplane LSH concentrates recall in the HIGH-cosine
+    regime (match probability (1-θ/π)^b per table); for the mid-cosine
+    neighbors of this synthetic corpus the data-adaptive ``sim_ann_ivf`` is
+    the recall-tested scale path."""
     t0 = _emb_table(sf_dir)
     dim = len(t0.column("embedding")[0])
     ds = _emb_ds(sf_dir).map_batches(
-        HyperplaneLSHStage(dim, n_planes=12), batch_format="pyarrow", concurrency=2
+        HyperplaneLSHStage(dim, n_planes=n_planes, n_tables=n_tables),
+        batch_format="pyarrow",
     )
 
     def bucket_pairs(g: pa.Table) -> pa.Table:
@@ -196,6 +201,92 @@ def sim_ann_lsh(sf_dir: str):
         )
 
     pairs = ds.groupby("lsh_bucket").map_groups(bucket_pairs, batch_format="pyarrow")
+    return (
+        pairs.groupby(["vec_a", "vec_b"])
+        .map_groups(lambda g: g.slice(0, 1), batch_format="pyarrow")
+        .sort(["vec_a", "vec_b"])
+    )
+
+
+# ---------------------------------------------------------------------------
+@_register("sim_ann_ivf", None)  # approximate — rows-only; recall in pytest
+def sim_ann_ivf(
+    sf_dir: str,
+    n_cells: int = 32,
+    nprobe: int = 6,
+    kmeans_iters: int = 5,
+    sample_limit: int = 10_000,
+):
+    """IVF approximate neighbors — the data-adaptive scale path: k-means
+    cells trained on a bounded driver-side sample, every vector multi-
+    assigned to its ``nprobe`` nearest cells (index-side probing), pairs
+    sharing ANY cell are candidates, verified by exact cosine ≥ 0.2.
+
+    Honesty note on recall/pruning: the synthetic embeddings are near-
+    uniform, so true top-10 neighbors sit at cos ≈ 0.3 — statistically
+    barely distinguishable from noise. Reaching recall@10 ≥ 0.9 there costs
+    candidate volume comparable to all-pairs at this scale (measured; see
+    tests). On clusterable real embeddings the same index prunes sharply —
+    cell populations concentrate and nprobe cells cover a small corpus
+    fraction. The SHAPE (bounded training sample, one bucket groupby, no
+    full scan) is what carries to 10^10 rows.
+    """
+    t0 = _emb_table(sf_dir)
+    dim = len(t0.column("embedding")[0])
+    sample = np.array(
+        t0.slice(0, sample_limit).column("embedding").to_pylist(),
+        dtype=np.float64,
+    )
+    sample /= np.maximum(np.linalg.norm(sample, axis=1, keepdims=True), 1e-30)
+    rng = np.random.default_rng(3)
+    k = min(n_cells, len(sample))
+    C = sample[rng.choice(len(sample), k, replace=False)].copy()
+    for _ in range(kmeans_iters):  # spherical k-means on the sample
+        assign = np.argmax(sample @ C.T, axis=1)
+        for c in range(k):
+            m = assign == c
+            if m.any():
+                v = sample[m].mean(axis=0)
+                C[c] = v / max(np.linalg.norm(v), 1e-30)
+
+    centroids = C  # small (n_cells × dim) — ships in the task closure
+
+    def assign_cells(batch: pa.Table) -> pa.Table:
+        E = _emb_matrix(batch)
+        En = E / np.maximum(np.linalg.norm(E, axis=1, keepdims=True), 1e-30)
+        sim = En @ centroids.T
+        p = min(nprobe, sim.shape[1])
+        top = np.argpartition(-sim, p - 1, axis=1)[:, :p]
+        idx = np.repeat(np.arange(len(E)), p)
+        out = batch.take(pa.array(idx))
+        return out.append_column(
+            "cell", pa.array(top.ravel().astype(np.int64), type=pa.int64())
+        )
+
+    ds = _emb_ds(sf_dir).map_batches(assign_cells, batch_format="pyarrow")
+
+    def cell_pairs(g: pa.Table) -> pa.Table:
+        E = _emb_matrix(g)
+        En = E / np.maximum(np.linalg.norm(E, axis=1, keepdims=True), 1e-30)
+        ids = g.column("vec_id").to_numpy(zero_copy_only=False)
+        order = np.argsort(ids, kind="stable")
+        En, ids = En[order], ids[order]
+        keep_first = np.concatenate([[True], ids[1:] != ids[:-1]])
+        En, ids = En[keep_first], ids[keep_first]
+        S = En @ En.T
+        iu, ju = np.triu_indices(len(ids), k=1)
+        m = S[iu, ju] >= 0.2
+        return pa.table(
+            {
+                "vec_a": pa.array(ids[iu[m]], type=pa.int64()),
+                "vec_b": pa.array(ids[ju[m]], type=pa.int64()),
+                "cos_r": pa.array(
+                    np.round(S[iu[m], ju[m]], 6), type=pa.float64()
+                ),
+            }
+        )
+
+    pairs = ds.groupby("cell").map_groups(cell_pairs, batch_format="pyarrow")
     return (
         pairs.groupby(["vec_a", "vec_b"])
         .map_groups(lambda g: g.slice(0, 1), batch_format="pyarrow")

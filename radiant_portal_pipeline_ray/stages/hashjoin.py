@@ -2,10 +2,19 @@
 
 When neither side fits a broadcast (reference J2's fallback:
 "else co-partitioned map_groups merge", SURVEY §2.4), the portable Ray Data
-shape is: add ``__bucket = stable_hash(key) % B`` to both sides, tag the
+shape is: add ``__bucket = stable_hash(keys) % B`` to both sides, tag the
 side, union, ``groupby(__bucket)``, and join the two sides of each bucket
 with pyarrow's Acero ``Table.join`` inside ``map_groups``. One all-to-all
 exchange; per-bucket work is a vectorized C++ hash join.
+
+Supports composite keys and every Acero join type; the short aliases
+``left/right/full/semi/anti`` map onto Acero's names (reference J2 is a
+composite-key LEFT join,
+`radiant/dags/sql/radiant/germline_snv_occurrence_insert_partition_delta.sql:65-72`;
+J3's ``LEFT ANTI JOIN`` is `variant_lookup_insert_hashes.sql:1-6`).
+
+Per-bucket correctness: all rows of a key land in one bucket on both sides,
+so inner/left/right/full/semi/anti each decompose exactly over buckets.
 
 Skew note: a hot join key lands one bucket; raise ``num_buckets`` or
 pre-salt hot keys (functions/hashing.assign_parts shows the persisted-salt
@@ -22,32 +31,67 @@ from ray.data import Dataset
 
 _KNUTH = np.uint64(0x9E3779B97F4A7C15)
 
+#: convenience aliases → Acero join_type names
+_JOIN_TYPES = {
+    "inner": "inner",
+    "left": "left outer",
+    "left outer": "left outer",
+    "right": "right outer",
+    "right outer": "right outer",
+    "full": "full outer",
+    "full outer": "full outer",
+    "semi": "left semi",
+    "left semi": "left semi",
+    "anti": "left anti",
+    "left anti": "left anti",
+    "right semi": "right semi",
+    "right anti": "right anti",
+}
 
-def _bucket_of(col: pa.ChunkedArray | pa.Array, num_buckets: int) -> pa.Array:
-    """Deterministic bucket id for int or string keys (vectorized)."""
-    if pa.types.is_integer(col.type):
-        v = pc.cast(col, pa.int64()).to_numpy(zero_copy_only=False).astype(np.uint64)
-        h = (v * _KNUTH) >> np.uint64(33)
-        return pa.array((h % np.uint64(num_buckets)).astype(np.int32))
-    from radiant_portal_pipeline_ray.functions.hashing import hash_strings_to_parts
 
-    return hash_strings_to_parts(col, num_buckets)
+def _bucket_of(
+    batch: pa.Table, keys: list[str], num_buckets: int
+) -> pa.Array:
+    """Deterministic composite-key bucket id (vectorized)."""
+    h = np.zeros(batch.num_rows, dtype=np.uint64)
+    for k in keys:
+        col = batch.column(k)
+        if pa.types.is_integer(col.type):
+            v = (
+                pc.fill_null(pc.cast(col, pa.int64()), 0)
+                .to_numpy(zero_copy_only=False)
+                .astype(np.uint64)
+            )
+        else:
+            from radiant_portal_pipeline_ray.stages.dedup import hash64_strings
+
+            v = hash64_strings(pc.cast(col, pa.string())).astype(np.uint64)
+        h = (h ^ v) * _KNUTH
+    return pa.array(((h >> np.uint64(33)) % np.uint64(num_buckets)).astype(np.int32))
 
 
 def hash_partitioned_join(
     left: Dataset,
     right: Dataset,
-    left_on: str,
-    right_on: str,
+    left_on: str | list[str],
+    right_on: str | list[str] | None = None,
     how: str = "inner",
     num_buckets: int = 16,
 ) -> Dataset:
-    """Join two Datasets on a single key column. Column sets must be
-    disjoint apart from the keys (standard relational hygiene)."""
+    """Join two Datasets on one or more key columns. Non-key column sets
+    must be disjoint (standard relational hygiene)."""
+    left_keys = [left_on] if isinstance(left_on, str) else list(left_on)
+    right_on = left_on if right_on is None else right_on
+    right_keys = [right_on] if isinstance(right_on, str) else list(right_on)
+    if len(left_keys) != len(right_keys):
+        raise ValueError("left_on and right_on must have the same arity")
+    join_type = _JOIN_TYPES.get(how)
+    if join_type is None:
+        raise ValueError(f"unsupported join type {how!r}")
 
-    def tag(side: str, key: str):
+    def tag(side: str, keys: list[str]):
         def fn(batch: pa.Table) -> pa.Table:
-            b = _bucket_of(batch.column(key), num_buckets)
+            b = _bucket_of(batch, keys, num_buckets)
             batch = batch.append_column(pa.field("__bucket", pa.int32()), b)
             return batch.append_column(
                 pa.field("__side", pa.string()),
@@ -56,8 +100,8 @@ def hash_partitioned_join(
 
         return fn
 
-    lt = left.map_batches(tag("l", left_on), batch_format="pyarrow")
-    rt = right.map_batches(tag("r", right_on), batch_format="pyarrow")
+    lt = left.map_batches(tag("l", left_keys), batch_format="pyarrow")
+    rt = right.map_batches(tag("r", right_keys), batch_format="pyarrow")
 
     l_names = [f.name for f in left.schema().base_schema]
     r_names = [f.name for f in right.schema().base_schema]
@@ -68,7 +112,7 @@ def hash_partitioned_join(
         lt_ = group.filter(lmask).select(l_names)
         rt_ = group.filter(pc.invert(lmask)).select(r_names)
         joined = lt_.join(
-            rt_, keys=[left_on], right_keys=[right_on], join_type=how
+            rt_, keys=left_keys, right_keys=right_keys, join_type=join_type
         )
         return joined.combine_chunks()
 

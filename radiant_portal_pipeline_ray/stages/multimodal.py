@@ -44,8 +44,10 @@ class ImageFeatureStage:
     """Actor-pool stage: payload binary → fixed-dim feature vector.
 
     ``strict=True`` raises ``DecodeError`` (clearly-marked stub boundary);
-    the default deterministic fake derives features from a blake2b digest of
-    the payload so tests exercise real Arrow plumbing end-to-end.
+    the default deterministic fake derives features from the md5 digest of
+    the payload — exactly reproducible by any SQL engine's ``md5()``, so the
+    whole pipeline (not just row counts) is oracle-checkable while the real
+    codec stays a one-method override.
     """
 
     def __init__(self, strict: bool = False, dim: int = FEATURE_DIM):
@@ -59,8 +61,10 @@ class ImageFeatureStage:
                 "image decode requires a codec not present in this environment; "
                 "override ImageFeatureStage._decode_stub with a real decoder"
             )
-        digest = hashlib.blake2b(payload, digest_size=self.dim).digest()
-        return (np.frombuffer(digest, dtype=np.uint8).astype(np.float32) - 127.5) / 128.0
+        digest = hashlib.md5(payload).digest()[: self.dim]
+        # (byte - 127.5)/128 values are exact dyadic rationals — identical in
+        # float64 here and DOUBLE in the SQL oracle
+        return (np.frombuffer(digest, dtype=np.uint8).astype(np.float64) - 127.5) / 128.0
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         feats = []
@@ -70,8 +74,8 @@ class ImageFeatureStage:
             )
         out = batch.drop_columns(["payload"])  # project before any shuffle
         return out.append_column(
-            pa.field("features", pa.list_(pa.float32())),
-            pa.array(feats, type=pa.list_(pa.float32())),
+            pa.field("features", pa.list_(pa.float64())),
+            pa.array(feats, type=pa.list_(pa.float64())),
         )
 
 

@@ -162,6 +162,43 @@ def unique_key_global(ds: Dataset, col: str) -> dict:
     return {"ok": dup == 0, "detail": f"duplicate_keys={dup}"}
 
 
+def cross_exclusive(
+    ds_a: Dataset,
+    ds_b: Dataset,
+    key_a: str,
+    key_b: str | None = None,
+    num_buckets: int = 16,
+) -> dict:
+    """CROSS-TABLE exclusivity: keys present in BOTH datasets are
+    violations. Distributed: per-batch distinct on each side, then a
+    hash-partitioned semi join — only matching keys (the violations)
+    survive, and only their count reaches the driver.
+
+    Reference analogue: the dbt cross-table test
+    `radiant/data_qa/tests/germline_snv_occurrence__validate_exclusive_with_somatic.sql:1-14`
+    (germline and somatic occurrences must not share (seq_id, locus_id)).
+    """
+    from radiant_portal_pipeline_ray.stages.hashjoin import (
+        hash_partitioned_join,
+    )
+
+    key_b = key_b or key_a
+
+    def distinct(col):
+        def f(b: pa.Table) -> pa.Table:
+            return b.select([col]).group_by(col).aggregate([])
+
+        return f
+
+    a = ds_a.map_batches(distinct(key_a), batch_format="pyarrow")
+    b = ds_b.map_batches(distinct(key_b), batch_format="pyarrow")
+    both = hash_partitioned_join(
+        a, b, key_a, key_b, how="semi", num_buckets=num_buckets
+    )
+    n = both.count()
+    return {"ok": n == 0, "detail": f"shared_keys={n}"}
+
+
 def snapshot_checks() -> list[QACheck]:
     """Default post-commit suite for the CDC snapshot."""
     return [

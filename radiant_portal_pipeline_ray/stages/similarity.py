@@ -96,21 +96,38 @@ def finalize_topk(t: pa.Table, k: int, score_col: str = "cosine") -> pa.Table:
 
 
 class HyperplaneLSHStage:
-    """Random-hyperplane signature (int64) per vector; vectors sharing a
-    signature bucket are ANN candidates. Planes drawn once per actor from a
-    fixed seed — identical across workers."""
+    """MULTI-TABLE random-hyperplane LSH: ``n_tables`` independent
+    ``n_planes``-bit signatures per vector; a pair is a candidate if it
+    shares the bucket of ANY table (union-of-tables OR-amplification — a
+    single table's recall collapses as the corpus grows; more tables trade
+    shuffle volume for recall). Output: one row per (vector, table) with
+    ``lsh_bucket = table_idx << n_planes | signature`` (single int64 key, so
+    one groupby buckets all tables at once). Planes drawn once per actor
+    from a fixed seed — identical across workers."""
 
-    def __init__(self, dim: int, n_planes: int = 16, seed: int = 11):
+    def __init__(
+        self, dim: int, n_planes: int = 12, n_tables: int = 8, seed: int = 11
+    ):
         rng = np.random.default_rng(seed)
-        self.planes = rng.standard_normal((n_planes, dim))
+        self.planes = rng.standard_normal((n_tables, n_planes, dim))
+        self.n_planes = n_planes
+        self.n_tables = n_tables
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         E = _emb_matrix(batch)
-        bits = (E @ self.planes.T) > 0
-        sig = np.zeros(len(E), dtype=np.int64)
-        for i in range(self.planes.shape[0]):
-            sig |= bits[:, i].astype(np.int64) << i
-        return batch.append_column("lsh_bucket", pa.array(sig, type=pa.int64()))
+        n = len(E)
+        weights = (np.int64(1) << np.arange(self.n_planes)).astype(np.int64)
+        sigs = np.empty((n, self.n_tables), dtype=np.int64)
+        for t in range(self.n_tables):
+            bits = (E @ self.planes[t].T) > 0
+            sigs[:, t] = bits.astype(np.int64) @ weights + (
+                np.int64(t) << np.int64(self.n_planes)
+            )
+        idx = np.repeat(np.arange(n), self.n_tables)
+        out = batch.take(pa.array(idx))
+        return out.append_column(
+            "lsh_bucket", pa.array(sigs.ravel(), type=pa.int64())
+        )
 
 
 def quantize_embeddings(batch: pa.Table, scale: int = 1000) -> pa.Table:

@@ -87,6 +87,13 @@ class Manifest:
     txn_id: str
     parent_version: int | None
     schema: pa.Schema | None
+    #: size of the base hash-partition domain. min_watermark() must treat a
+    #: base partition with NO committed state as watermark -1: the coarse
+    #: changelog read filter ``lsn > min_watermark`` is only safe when every
+    #: partition's events below the bound are truly committed — a
+    #: yet-unseen partition may still receive arbitrarily old lsns (e.g. a
+    #: priority-reordered backlog).
+    n_parts: int = 0
     partitions: dict[int, PartitionState] = dc_field(default_factory=dict)
     salt_map: dict[str, list[int]] = dc_field(default_factory=dict)
     #: domains salted at THIS commit whose historical rows still live in
@@ -104,6 +111,10 @@ class Manifest:
     def min_watermark(self) -> int:
         if not self.partitions:
             return -1
+        if self.n_parts and any(
+            p not in self.partitions for p in range(self.n_parts)
+        ):
+            return -1
         return min(st.watermark_lsn for st in self.partitions.values())
 
     def to_json(self) -> dict:
@@ -111,6 +122,7 @@ class Manifest:
             "version": self.version,
             "txn_id": self.txn_id,
             "parent_version": self.parent_version,
+            "n_parts": self.n_parts,
             "schema_b64": schema_to_b64(self.schema) if self.schema else None,
             "schema": schema_summary(self.schema) if self.schema else [],
             "partitions": {str(p): st.to_json() for p, st in self.partitions.items()},
@@ -127,6 +139,7 @@ class Manifest:
             version=d["version"],
             txn_id=d["txn_id"],
             parent_version=d.get("parent_version"),
+            n_parts=d.get("n_parts", 0),
             schema=schema_from_b64(d["schema_b64"]) if d.get("schema_b64") else None,
             partitions={
                 int(p): PartitionState.from_json(st)
