@@ -24,6 +24,8 @@ from ray.data.aggregate import Max, Min, Sum
 #: agg spec entry: (input_col, fn, output_name); fn ∈ sum,count,min,max
 _PARTIAL_FN = {"sum": "sum", "count": "count", "min": "min", "max": "max"}
 _FINAL_AGG = {"sum": Sum, "count": Sum, "min": Min, "max": Max}
+#: how a partial column folds in the final combine
+_FINAL_FN = {"sum": "sum", "count": "sum", "min": "min", "max": "max"}
 
 
 def partial_final_groupby(
@@ -31,21 +33,38 @@ def partial_final_groupby(
     keys: list[str],
     aggs: list[tuple[str, str, str]],
     batch_size: int = 65536,
+    n_partitions: int = 64,
 ) -> Dataset:
-    """groupby(keys) with per-batch combining. Returns one row per key."""
+    """groupby(keys) with per-batch combining. Returns one row per key.
+
+    The final combine avoids Ray's per-group aggregate machinery (Python
+    overhead per group — at 10^5+ groups it dominates): partial rows carry a
+    coarse ``__pkey = hash(keys) % n_partitions``, the shuffle groups on
+    THAT (``n_partitions`` groups total), and each partition folds all its
+    keys in ONE vectorized arrow ``group_by`` call."""
 
     def partial(batch: pa.Table) -> pa.Table:
         spec = [(c, _PARTIAL_FN[f]) for c, f, _ in aggs]
         g = batch.group_by(keys).aggregate(spec)
         # pyarrow names results "<col>_<fn>"; rename to the output names
         mapping = {f"{c}_{_PARTIAL_FN[f]}": out for c, f, out in aggs}
+        g = g.rename_columns([mapping.get(n, n) for n in g.column_names])
+        from radiant_portal_pipeline_ray.stages.hashjoin import _bucket_of
+
+        return g.append_column(
+            pa.field("__pkey", pa.int32()), _bucket_of(g, keys, n_partitions)
+        )
+
+    def final_combine(group: pa.Table) -> pa.Table:
+        spec = [(out, _FINAL_FN[f]) for _, f, out in aggs]
+        g = group.drop_columns(["__pkey"]).group_by(keys).aggregate(spec)
+        mapping = {f"{out}_{_FINAL_FN[f]}": out for _, f, out in aggs}
         return g.rename_columns([mapping.get(n, n) for n in g.column_names])
 
     partials = ds.map_batches(partial, batch_format="pyarrow", batch_size=batch_size)
-    final_aggs = [
-        _FINAL_AGG[f](out, alias_name=out) for _, f, out in aggs
-    ]
-    return partials.groupby(keys).aggregate(*final_aggs)
+    return partials.groupby("__pkey").map_groups(
+        final_combine, batch_format="pyarrow"
+    )
 
 
 def topk_per_key_table(
