@@ -14,6 +14,18 @@ Nothing in this package calls ``ray.init()``; sessions are owned by the
 caller (tests' conftest fixture, ``bench.py``, or the evaluation driver).
 """
 
+import pyarrow as _pa
+
+# Long-lived Ray workers run many Arrow-heavy batches; jemalloc's default
+# decay keeps freed arenas resident and per-task UDF time was measured to
+# DOUBLE by round 4 of a replay (allocator pressure, not algorithm). Return
+# freed pages immediately. Runs in every worker because the UDF closures
+# import this package.
+try:
+    _pa.jemalloc_set_decay_ms(0)
+except (NotImplementedError, OSError):  # non-jemalloc builds
+    pass
+
 from radiant_portal_pipeline_ray.config import EngineConfig
 
 __all__ = ["EngineConfig"]

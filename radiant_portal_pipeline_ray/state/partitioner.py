@@ -63,13 +63,17 @@ class Partitioner:
                 self.hot_counts[d] = cum
             if cum < self.salt_threshold_rows:
                 continue
+            # re-salt only when CURRENT need outgrows the allocated capacity;
+            # the allocation itself is oversized by salt_headroom so steady
+            # growth triggers one migration, not one per doubling
+            need_now = max(2, -(-cum // self.salt_target_rows))
+            cur = self.salt_map.get(d)
+            if cur is not None and len(cur) >= need_now:
+                continue
             want_k = max(
                 2,
                 -(-int(cum * self.salt_headroom) // self.salt_target_rows),
             )
-            cur = self.salt_map.get(d)
-            if cur is not None and len(cur) >= want_k:
-                continue
             old_parts = list(cur) if cur else [self.base_part(d)]
             new_parts = [self.base_part(d)] + [
                 self.next_part + i for i in range(want_k - 1)
