@@ -103,7 +103,9 @@ def run_flagship(sf_dir: str, work_dir: str | None = None, n_parts: int = 8):
     lake_dir = os.path.join(work, "lake")
     shutil.rmtree(lake_dir, ignore_errors=True)
     paths = documents_changelog(sf_dir, cl_dir)
-    eng = CdcEngine(lake_dir, EngineConfig(n_parts=n_parts))
+    eng = CdcEngine(lake_dir, EngineConfig(n_parts=n_parts, run_qa=True))
     for p in paths:  # incremental: two apply rounds
-        eng.apply([p])
+        report = eng.apply([p])
+    # post-commit QA gate (incl. cross-table live/tombstone exclusivity)
+    assert report["qa"]["passed"], report["qa"]
     return eng.read_snapshot()

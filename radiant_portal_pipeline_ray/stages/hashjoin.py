@@ -103,8 +103,10 @@ def hash_partitioned_join(
     lt = left.map_batches(tag("l", left_keys), batch_format="pyarrow")
     rt = right.map_batches(tag("r", right_keys), batch_format="pyarrow")
 
-    l_names = [f.name for f in left.schema().base_schema]
-    r_names = [f.name for f in right.schema().base_schema]
+    l_schema = left.schema(fetch_if_missing=True)
+    r_schema = right.schema(fetch_if_missing=True)
+    l_names = [f.name for f in l_schema.base_schema]
+    r_names = [f.name for f in r_schema.base_schema]
 
     def join_bucket(group: pa.Table) -> pa.Table:
         side = group.column("__side")
@@ -118,7 +120,7 @@ def hash_partitioned_join(
 
     # union needs identical schemas → pad each side with the other's columns
     all_fields: dict[str, pa.DataType] = {}
-    for sch in (left.schema().base_schema, right.schema().base_schema):
+    for sch in (l_schema.base_schema, r_schema.base_schema):
         for f in sch:
             all_fields.setdefault(f.name, f.type)
     union_schema = pa.schema(

@@ -192,6 +192,8 @@ def cross_exclusive(
 
     a = ds_a.map_batches(distinct(key_a), batch_format="pyarrow")
     b = ds_b.map_batches(distinct(key_b), batch_format="pyarrow")
+    if a.count() == 0 or b.count() == 0:  # empty side ⇒ trivially exclusive
+        return {"ok": True, "detail": "shared_keys=0"}
     both = hash_partitioned_join(
         a, b, key_a, key_b, how="semi", num_buckets=num_buckets
     )
