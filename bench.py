@@ -122,8 +122,12 @@ def run_bench() -> dict:
     t0 = time.time()
     rounds = []
     round_timings = []
-    step = max(1, len(paths) // 4)
-    for i in range(0, len(paths), step):  # 4 incremental rounds
+    # 2 incremental rounds of ~1M events: bigger rounds amortize the
+    # per-round barriers (plan + materialize + sort sampling + commit) while
+    # still exercising incremental watermarks, carried-forward merge and
+    # salting migration across rounds
+    step = max(1, len(paths) // 2)
+    for i in range(0, len(paths), step):
         r = eng.apply(paths[i : i + step])
         rounds.append(round(r["wall_s"], 3))
         round_timings.append(r.get("timings", {}))

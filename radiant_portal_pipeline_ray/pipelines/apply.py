@@ -16,16 +16,22 @@ loop `radiant/dags/import_radiant.py:48-210`):
      partitions, drop already-applied events) → materialize ONCE (the
      merge's sort re-samples a lazy input for range boundaries, re-running
      normalize; ``cfg.sparse_scout`` trades this for a column-pruned probe)
-  5. ``read_parquet`` only the CHANGED partitions' snapshot files → cast to
-     the merge layout (carry-forward side, ``op='S'``)
+  5. carried-forward side: a STABLE changed partition's committed files are
+     read locally INSIDE its merge task (the lake layout is already
+     part-partitioned) — only partitions under a salt migration, whose
+     routing is changing, shuffle their carried rows through the snapshot
+     caster (``op='S'``)
   6. ``union`` → ``groupby("part").map_groups`` vectorized LWW merge, each
      group writing url-sorted staged Parquet and returning one metadata row
+     (``cfg.exchange='actor'`` swaps the sort shuffle for the streaming
+     shard-actor exchange in stages/exchange.py)
   7. two-phase commit: promote staged files, publish manifest v+1 via
-     atomic put-if-absent (idempotent by txn-id, conflict-retry loop)
+     atomic put-if-absent (idempotent by txn-id, conflict-retry loop;
+     fails fast if a concurrent writer advanced a merged partition)
 
 Only tiny metadata ever reaches the driver; data flows Arrow-zero-copy
-through Ray's streaming executor with one all-to-all exchange (the
-``groupby(part)``), which is the minimum any keyed merge needs.
+through Ray's streaming executor with ONE keyed exchange carrying the
+delta — at steady state the change stream, never the table.
 """
 
 from __future__ import annotations

@@ -466,3 +466,75 @@ def dd_simhash(sf_dir: str, max_bucket: int = 4096):
         .rename_columns(["doc_a", "doc_b", "hamming"])
     )
     return rd.from_arrow(uniq).sort(["doc_a", "doc_b"])
+
+
+# ---------------------------------------------------------------------------
+_DEDUP_CORPUS_SQL = (
+    """
+    WITH RECURSIVE base_pairs AS ("""
+    + _NGRAM_SQL.replace("ORDER BY doc_a, doc_b", "")
+    + """
+    ), edges AS (
+      SELECT doc_a AS a, doc_b AS b FROM base_pairs
+      UNION ALL
+      SELECT doc_b, doc_a FROM base_pairs
+    ), reach(node, lbl) AS (
+      SELECT DISTINCT a, a FROM edges
+      UNION
+      SELECT e.b, r.lbl FROM reach r JOIN edges e ON e.a = r.node
+    )
+    SELECT node AS doc_id, MIN(lbl) AS rep_doc_id
+    FROM reach GROUP BY node ORDER BY doc_id
+    """
+)
+
+
+@_register("dd_dedup_corpus", _DEDUP_CORPUS_SQL)
+def dd_dedup_corpus(sf_dir: str, max_bucket: int = 4096):
+    """Near-dup CLUSTER dedup: exact J ≥ 0.5 pairs → connected components →
+    every clustered doc mapped to its component representative (min doc_id).
+    Downstream, "keep rows whose doc_id ∉ mapping OR doc_id = rep_doc_id"
+    yields the deduplicated corpus.
+
+    The component fold runs driver-side union-find over the PAIR set — the
+    near-dup graph, orders of magnitude smaller than the corpus (fine to
+    ~10^7 edges). At larger edge counts the same mapping is computed
+    distributively by iterated min-label propagation: join labels to edges,
+    take per-node min, repeat to fixpoint — each round one hash join +
+    groupby-min over the edge set.
+    """
+    pairs = dd_ngram_jaccard(sf_dir, max_bucket=max_bucket)
+    pt = pa.concat_tables(ray.get(pairs.to_arrow_refs()))
+    a = pt.column("doc_a").to_numpy()
+    b = pt.column("doc_b").to_numpy()
+
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        r = x
+        while parent.get(r, r) != r:
+            r = parent[r]
+        while parent.get(x, x) != x:  # path compression
+            parent[x], x = r, parent[x]
+        return r
+
+    for x, y in zip(a.tolist(), b.tolist()):
+        rx, ry = find(x), find(y)
+        if rx != ry:
+            if rx < ry:
+                parent[ry] = rx
+            else:
+                parent[rx] = ry
+        parent.setdefault(x, find(x))
+        parent.setdefault(y, find(y))
+
+    nodes = sorted(set(a.tolist()) | set(b.tolist()))
+    reps = [find(n) for n in nodes]
+    return rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(nodes, type=pa.int64()),
+                "rep_doc_id": pa.array(reps, type=pa.int64()),
+            }
+        )
+    ).sort("doc_id")

@@ -805,3 +805,109 @@ def q_left_join_rank1(sf_dir: str):
         ),
         batch_format="pyarrow",
     ).sort("o_orderkey")
+
+
+# ---------------------------------------------------------------------------
+# streaming-shaped: gap-based SESSION windows per user (sessionization)
+# Ray Data has no event-time session windows; the operator is expressed as
+# pkey-partitioned vectorized gap detection + cumulative session numbering —
+# the same custom-operator recipe as the tumbling window above.
+# ---------------------------------------------------------------------------
+@_register(
+    "q_user_sessions",
+    """
+    WITH x AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), y AS (
+      SELECT user_id, ts, event_id,
+             SUM(new_s) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS UNBOUNDED PRECEDING) AS session_no
+      FROM x
+    )
+    SELECT user_id, CAST(session_no AS BIGINT) AS session_no,
+           COUNT(*) AS n_events,
+           CAST(epoch_us(MAX(ts)) - epoch_us(MIN(ts)) AS BIGINT) AS duration_us
+    FROM y GROUP BY user_id, session_no ORDER BY user_id, session_no
+    """,
+)
+def q_user_sessions(sf_dir: str, gap_us: int = 1_800_000_000, n_partitions: int = 64):
+    """Sessionize each user's event stream: a gap > 30 min starts a new
+    session. Users co-locate under a coarse pkey; each partition sessionizes
+    ALL its users in one vectorized pass (lexsort → gap flags → per-user
+    cumulative session numbers → one arrow group_by)."""
+    from radiant_portal_pipeline_ray.stages.hashjoin import _bucket_of
+
+    ev = read_parquet_clean(
+        _pq(sf_dir, "events"), columns=["user_id", "ts", "event_id"]
+    )
+
+    def add_pkey(b: pa.Table) -> pa.Table:
+        return b.append_column(
+            pa.field("__pkey", pa.int32()),
+            _bucket_of(b, ["user_id"], n_partitions),
+        )
+
+    def sessionize(group: pa.Table) -> pa.Table:
+        u = group.column("user_id").to_numpy(zero_copy_only=False)
+        ts = pc.cast(group.column("ts"), pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        eid = group.column("event_id").to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, ts, u))
+        u, ts = u[order], ts[order]
+        n = len(u)
+        if n == 0:
+            return pa.table(
+                {
+                    "user_id": pa.array([], pa.int64()),
+                    "session_no": pa.array([], pa.int64()),
+                    "n_events": pa.array([], pa.int64()),
+                    "duration_us": pa.array([], pa.int64()),
+                }
+            )
+        new_s = np.ones(n, dtype=np.int64)
+        same_user = u[1:] == u[:-1]
+        small_gap = (ts[1:] - ts[:-1]) <= gap_us
+        new_s[1:] = np.where(same_user & small_gap, 0, 1)
+        # per-user cumulative session number: global cumsum minus the
+        # cumsum just before each user's first row
+        cum = np.cumsum(new_s)
+        user_start = np.concatenate([[True], ~same_user])
+        base = np.zeros(n, dtype=np.int64)
+        starts = np.flatnonzero(user_start)
+        base_vals = cum[starts] - new_s[starts]
+        lens = np.diff(np.append(starts, n))
+        base = np.repeat(base_vals, lens)
+        session_no = cum - base
+        t = pa.table(
+            {
+                "user_id": pa.array(u, type=pa.int64()),
+                "session_no": pa.array(session_no, type=pa.int64()),
+                "ts_us": pa.array(ts, type=pa.int64()),
+            }
+        )
+        g = t.group_by(["user_id", "session_no"]).aggregate(
+            [("ts_us", "count"), ("ts_us", "min"), ("ts_us", "max")]
+        )
+        dur = pc.subtract(g.column("ts_us_max"), g.column("ts_us_min"))
+        return pa.table(
+            {
+                "user_id": g.column("user_id"),
+                "session_no": g.column("session_no"),
+                "n_events": pc.cast(g.column("ts_us_count"), pa.int64()),
+                "duration_us": pc.cast(dur, pa.int64()),
+            }
+        )
+
+    return (
+        ev.map_batches(add_pkey, batch_format="pyarrow")
+        .groupby("__pkey")
+        .map_groups(sessionize, batch_format="pyarrow")
+        .sort(["user_id", "session_no"])
+    )
