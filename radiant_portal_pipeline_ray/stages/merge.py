@@ -111,6 +111,11 @@ class MergeKernel:
                 [align_table(group, old.schema), old]
             ).combine_chunks()
 
+        # Copy discipline: the wide columns (html, text) are never taken for
+        # the full sorted table. Only narrow key columns sort-materialize;
+        # the single full-width copy is the winners-only take (~rows/keys of
+        # the group, typically 30-50%). Byte-identical output to the naive
+        # full-sort path — same sort, same tie-breaks.
         idx = pc.sort_indices(
             group,
             sort_keys=[
@@ -119,22 +124,27 @@ class MergeKernel:
                 ("lsn", "ascending"),
             ],
         )
-        t = group.take(idx)
+        idx_np = idx.to_numpy(zero_copy_only=False)
 
-        ops = t.column("op").to_numpy(zero_copy_only=False)
-        is_state = ops == "S"
-        events_in = int((~is_state).sum())
-        ev_lsn = t.column("lsn").to_numpy(zero_copy_only=False)[~is_state]
+        ops_all = group.column("op").to_numpy(zero_copy_only=False)
+        is_state_all = ops_all == "S"
+        events_in = int((~is_state_all).sum())
+        lsn_all = group.column("lsn").to_numpy(zero_copy_only=False)
+        ev_lsn = lsn_all[~is_state_all]
         max_lsn = int(ev_lsn.max()) if len(ev_lsn) else -1
 
-        urls = t.column("url").to_numpy(zero_copy_only=False)
+        urls_sorted = pc.take(group.column("url"), idx)
+        if isinstance(urls_sorted, pa.ChunkedArray):
+            urls_sorted = urls_sorted.combine_chunks()
+        urls = urls_sorted.to_numpy(zero_copy_only=False)
         n = len(urls)
         last = np.empty(n, dtype=bool)
         if n:
             last[:-1] = urls[:-1] != urls[1:]
             last[-1] = True
-        winners = t.filter(pa.array(last))
-        w_ops = ops[last]
+        winner_idx = idx_np[last]
+        winners = group.take(pa.array(winner_idx)).combine_chunks()
+        w_ops = ops_all[winner_idx]
 
         # tombstone semantics: a winning delete is RETAINED as a flagged row
         # so later out-of-order events lose to it (see schemas.INTERNAL_FIELDS)
@@ -155,15 +165,20 @@ class MergeKernel:
 
         # stable doc_id: existing urls keep theirs (url → doc_id from carried
         # state rows), new urls get deterministic sequential ids in url order.
-        state_rows = t.filter(pa.array(is_state))
+        # Narrow (url, doc_id, deleted) projections of the state rows only —
+        # never a full-width state copy.
+        state_mask = pa.array(is_state_all)
+        state_urls = group.column("url").filter(state_mask)
+        if isinstance(state_urls, pa.ChunkedArray):
+            state_urls = state_urls.combine_chunks()
+        state_docs = group.column("doc_id").filter(state_mask)
+        if isinstance(state_docs, pa.ChunkedArray):
+            state_docs = state_docs.combine_chunks()
         doc = live.column("doc_id")
-        if state_rows.num_rows:
+        if len(state_urls):
             lookup = pc.take(
-                state_rows.column("doc_id").combine_chunks(),
-                pc.index_in(
-                    live.column("url"),
-                    value_set=state_rows.column("url").combine_chunks(),
-                ),
+                state_docs,
+                pc.index_in(live.column("url"), value_set=state_urls),
             )
             doc = pc.coalesce(doc, lookup)
         if isinstance(doc, pa.ChunkedArray):
@@ -187,13 +202,16 @@ class MergeKernel:
         n_tombstones = int(deleted_flag.sum())
         rows_carried = int(((live_ops == "S") & live_mask).sum())
         rows_upserted = int(((live_ops == "I") | (live_ops == "U")).sum())
-        old_live_urls = state_rows.filter(
-            pc.equal(pc.fill_null(state_rows.column("deleted"), False), False)
-        ).column("url")
-        del_winner_urls = winners.filter(pa.array(w_ops == "D")).column("url")
-        hit = pc.index_in(
-            del_winner_urls.combine_chunks(), value_set=old_live_urls.combine_chunks()
+        state_deleted = group.column("deleted").filter(state_mask)
+        if isinstance(state_deleted, pa.ChunkedArray):
+            state_deleted = state_deleted.combine_chunks()
+        old_live_urls = state_urls.filter(
+            pc.equal(pc.fill_null(state_deleted, False), False)
         )
+        del_winner_urls = winners.column("url").filter(pa.array(w_ops == "D"))
+        if isinstance(del_winner_urls, pa.ChunkedArray):
+            del_winner_urls = del_winner_urls.combine_chunks()
+        hit = pc.index_in(del_winner_urls, value_set=old_live_urls)
         rows_deleted = int(pc.sum(pc.is_valid(hit)).as_py() or 0)
 
         # heavy-hitter domain counts (deferred-salting feed, top 16)
