@@ -337,7 +337,48 @@ def dd_minhash_lsh(sf_dir: str, max_bucket: int = 4096):
 
 
 # ---------------------------------------------------------------------------
-@_register("dd_simhash", None)  # signature-distance dedup — rows-only
+def _simhash_sql() -> str:
+    """DuckDB mirror of SimHashStage + the chunk-bucket candidate rule:
+    md5-derived 64-bit token hashes, per-bit majority vote (ties → 0), bit
+    packing, pigeonhole chunk match, exact hamming ≤ 6 via bit_count."""
+    bitsum = ",\n             ".join(
+        f"SUM(CAST((h >> {j}) & 1 AS BIGINT)) AS s{j}" for j in range(64)
+    )
+    pack = "\n             + ".join(
+        f"(CASE WHEN 2*s{j} > cnt THEN CAST('{1 << j}' AS UBIGINT) "
+        f"ELSE CAST(0 AS UBIGINT) END)"
+        for j in range(64)
+    )
+    chunks = " OR ".join(
+        f"((a.u >> {16 * c}) & 65535) = ((b.u >> {16 * c}) & 65535)"
+        for c in range(4)
+    )
+    return f"""
+    WITH tok AS (
+      SELECT doc_id,
+             unnest(list_filter(string_split(trim(text), ' '), x -> x <> '')) AS t
+      FROM documents
+    ), h AS (
+      SELECT doc_id, CAST('0x' || substr(md5(t), 1, 16) AS UBIGINT) AS h
+      FROM tok
+    ), agg AS (
+      SELECT doc_id, COUNT(*) AS cnt,
+             {bitsum}
+      FROM h GROUP BY doc_id
+    ), sig AS (
+      SELECT doc_id,
+             {pack} AS u
+      FROM agg
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(bit_count(xor(a.u, b.u)) AS BIGINT) AS hamming
+    FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+    WHERE ({chunks}) AND bit_count(xor(a.u, b.u)) <= 6
+    ORDER BY doc_a, doc_b
+    """
+
+
+@_register("dd_simhash", _simhash_sql())
 def dd_simhash(sf_dir: str, max_bucket: int = 4096):
     """64-bit SimHash near-dup: candidates share one of four 16-bit chunks
     (pigeonhole: hamming ≤ 3 guarantees a shared chunk), verified at

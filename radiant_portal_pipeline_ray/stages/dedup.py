@@ -375,9 +375,31 @@ def make_partitioned_pair_generator(
     return gen
 
 
+def md5_hash64(arr: pa.Array | pa.ChunkedArray) -> np.ndarray:
+    """First 8 bytes of md5 as uint64 — SQL-reproducible
+    (``CAST('0x' || substr(md5(t), 1, 16) AS UBIGINT)``). Hashes UNIQUE
+    values once (token vocabularies are small) and broadcasts back via
+    dictionary indices, so cost is O(uniques) Python + O(rows) Arrow."""
+    import hashlib
+
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    uniq = pc.unique(arr)
+    hv = np.array(
+        [
+            int.from_bytes(hashlib.md5(u.encode("utf-8")).digest()[:8], "big")
+            for u in uniq.to_pylist()
+        ],
+        dtype=np.uint64,
+    )
+    idx = pc.index_in(arr, value_set=uniq).to_numpy(zero_copy_only=False)
+    return hv[idx.astype(np.int64)]
+
+
 class SimHashStage:
-    """64-bit SimHash over whitespace tokens — vectorized: polars token
-    hashes, per-bit per-doc vote via ``np.bincount`` (64 passes, no Python
+    """64-bit SimHash over whitespace tokens — vectorized: md5-derived token
+    hashes (SQL-reproducible, so the whole signature has an exact DuckDB
+    oracle), per-bit per-doc vote via ``np.bincount`` (64 passes, no Python
     loop over rows or tokens)."""
 
     def __init__(self, text_col: str = "text", out_col: str = "simhash"):
@@ -387,7 +409,7 @@ class SimHashStage:
     def _batch_simhash(self, text: pa.Array | pa.ChunkedArray, n: int) -> pa.Array:
         flat, parent = _tokens_flat(text, n)
         valid_text = pc.is_valid(text).to_numpy(zero_copy_only=False)
-        h = hash64_strings(flat)
+        h = md5_hash64(flat)
         has_tok = np.zeros(n, dtype=bool)
         has_tok[np.unique(parent)] = True
         acc_pos = np.zeros((n, 64), dtype=np.int64)
