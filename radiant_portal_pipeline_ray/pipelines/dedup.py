@@ -5,8 +5,10 @@
   index + integer-threshold verification (2·inter ≥ union ⇔ J ≥ 0.5);
   SQL oracle reproduces it bit-for-bit.
 - ``dd_minhash_lsh``: MinHash(64)+LSH(16×4) banded candidates, then exact
-  verification — the 10^10-scale path (no all-pairs anywhere); rows-only
-  for the driver, recall-tested against ``dd_ngram_jaccard`` in pytest.
+  verification — the 10^10-scale path (no all-pairs anywhere); the FULL
+  pipeline (signatures, bands, candidates, verification) has an exact SQL
+  oracle via md5 shingle hashes + HUGEINT wrap-around arithmetic, and is
+  recall-tested against ``dd_ngram_jaccard`` in pytest.
 - ``dd_simhash``: 64-bit SimHash, candidates from 4×16-bit chunk buckets
   (hamming ≤ small ⇒ some chunk equal), verified by exact hamming ≤ 6.
 
@@ -318,7 +320,82 @@ def dd_ngram_jaccard(sf_dir: str, max_bucket: int = 4096):
 
 
 # ---------------------------------------------------------------------------
-@_register("dd_minhash_lsh", None)  # approximate candidates — rows-only
+def _minhash_sql(
+    n_perm: int = 64, n_bands: int = 16, rows_per_band: int = 4, seed: int = 7
+) -> str:
+    """DuckDB mirror of the ENTIRE dd_minhash_lsh pipeline: md5-derived
+    shingle hashes, the 64 (a·h + b mod 2^64) mod (2^61-1) permutation mins
+    per doc (HUGEINT emulates the engine's uint64 wrap-around), the
+    golden-ratio band mix, pairs sharing ANY band, then the exact ngram
+    verification. Permutation constants come from the same seeded RNG as
+    MinHashStage, so signatures agree bit-for-bit."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    a = rng.integers(1, (1 << 61) - 1, size=n_perm, dtype=np.uint64)
+    b = rng.integers(0, (1 << 61) - 1, size=n_perm, dtype=np.uint64)
+    M = (1 << 61) - 1
+    W = 1 << 64
+    MIX = 0x9E3779B97F4A7C15
+
+    mins = ",\n             ".join(
+        f"MIN(CAST((CAST(h AS HUGEINT) * {int(a[j])} + {int(b[j])}) "
+        f"% {W} % {M} AS UBIGINT)) AS m{j}"
+        for j in range(n_perm)
+    )
+
+    def band_expr(bi: int) -> str:
+        # (x * MIX) mod 2^64 in INT128-safe halves:
+        #   = (x_lo*MIX mod 2^64 + (x_hi*MIX mod 2^32)*2^32) mod 2^64
+        acc = f"CAST({2 * bi + 1} AS UBIGINT)"
+        for r in range(rows_per_band):
+            m = f"m{bi * rows_per_band + r}"
+            x = f"CAST(xor({acc}, {m}) AS HUGEINT)"
+            lo = f"(({x} % 4294967296) * {MIX}) % {W}"
+            hi = f"((({x} // 4294967296) * {MIX}) % 4294967296) * 4294967296"
+            acc = f"CAST(({lo} + {hi}) % {W} AS UBIGINT)"
+        return acc
+
+    bands = ",\n             ".join(
+        f"{band_expr(bi)} AS h{bi}" for bi in range(n_bands)
+    )
+    band_match = " OR ".join(f"a.h{bi} = b.h{bi}" for bi in range(n_bands))
+    ngram_pairs = _NGRAM_SQL.replace("ORDER BY doc_a, doc_b", "")
+    return f"""
+    WITH base_pairs AS ({ngram_pairs}
+    ), w0 AS (
+      SELECT doc_id,
+             list_filter(string_split(trim(text), ' '), x -> x <> '') AS toks
+      FROM documents
+    ), sh0 AS (
+      SELECT DISTINCT doc_id,
+             toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS s
+      FROM w0, UNNEST(range(1, len(toks) - 1)) AS t(i)
+      WHERE len(toks) >= 3
+    ), hh AS (
+      SELECT DISTINCT doc_id,
+             CAST('0x' || substr(md5(s), 1, 16) AS UBIGINT) AS h
+      FROM sh0
+    ), sig AS (
+      SELECT doc_id,
+             {mins}
+      FROM hh GROUP BY doc_id
+    ), bands AS (
+      SELECT doc_id,
+             {bands}
+      FROM sig
+    ), cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.doc_id < b.doc_id AND ({band_match})
+    )
+    SELECT p.doc_a, p.doc_b, p.inter, p.uni
+    FROM base_pairs p JOIN cand USING (doc_a, doc_b)
+    ORDER BY doc_a, doc_b
+    """
+
+
+@_register("dd_minhash_lsh", _minhash_sql())
 def dd_minhash_lsh(sf_dir: str, max_bucket: int = 4096):
     """MinHash(64 perms) + LSH banding(16 bands × 4 rows) near-dup pairs,
     exact-verified at J ≥ 0.5. Scale path: vectorized signatures per batch,

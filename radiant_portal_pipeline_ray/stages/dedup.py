@@ -93,7 +93,9 @@ def shingle_hash_table(
     ok = parent[: T - k + 1] == parent[k - 1 :]
     grams = grams.filter(pa.array(ok))
     gram_parent = parent[: T - k + 1][ok]
-    h = hash64_strings(grams).view(np.int64)
+    # md5-derived hashes (unique-shingle dictionary) so MinHash signatures
+    # and LSH bands are exactly reproducible by the SQL oracle
+    h = md5_hash64(grams).view(np.int64)
     doc = ids[gram_parent]
     # distinct (doc, hash)
     order = np.lexsort((h, doc))
