@@ -124,6 +124,24 @@ def _lang_id_sql() -> str:
     """
 
 
+@_register(
+    "t_token_counts_bpe",
+    r"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^\sA-Za-z0-9]'))
+                AS BIGINT) AS n_tokens_bpe
+    FROM documents ORDER BY doc_id
+    """,
+)
+def t_token_counts_bpe(sf_dir: str):
+    """GPT-2-style pre-tokenizer counts (word fragments / numbers / punct) —
+    vectorized RE2 non-overlapping match count."""
+    ds = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        TokenizeStage(mode="bpe"), batch_format="pyarrow"
+    )
+    return ds.select_columns(["doc_id", "n_tokens_bpe"]).sort("doc_id")
+
+
 @_register("t_lang_id", _lang_id_sql())
 def t_lang_id(sf_dir: str):
     ds = _docs(sf_dir, ["doc_id", "text", "lang"]).map_batches(
