@@ -56,6 +56,26 @@ def _emb_table(sf_dir: str) -> pa.Table:
     ).combine_chunks()
 
 
+def _emb_dim(sf_dir: str) -> int:
+    """Embedding dimensionality from the FIRST row group only (metadata-scale
+    I/O — never a full-table driver read)."""
+    pf = pq.ParquetFile(os.path.join(sf_dir, "embeddings.parquet"))
+    first = next(pf.iter_batches(batch_size=1, columns=["embedding"]))
+    return len(first.column("embedding")[0])
+
+
+def _query_vectors(sf_dir: str, n: int):
+    """The n query vectors via a row-group-pruned filtered read — at corpus
+    scale the embeddings table is huge; only matching row groups are read."""
+    t = pq.read_table(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        columns=["vec_id", "embedding"],
+        filters=pc.field("vec_id") < n,
+    )
+    Q = np.array(t.column("embedding").to_pylist(), dtype=np.float64)
+    return Q, t.column("vec_id").to_pylist()
+
+
 # ---------------------------------------------------------------------------
 @_register(
     "sim_topk_cosine",
@@ -80,11 +100,7 @@ def _emb_table(sf_dir: str) -> pa.Table:
     """,
 )
 def sim_topk_cosine(sf_dir: str):
-    t = _emb_table(sf_dir)
-    qmask = pc.less(t.column("vec_id"), N_QUERIES)
-    qt = t.filter(qmask)
-    Q = np.array(qt.column("embedding").to_pylist(), dtype=np.float64)
-    qids = qt.column("vec_id").to_pylist()
+    Q, qids = _query_vectors(sf_dir, N_QUERIES)
 
     stage = BruteForceTopK(Q, qids, k=TOP_K, margin=1e-6)
     partials = _emb_ds(sf_dir).map_batches(stage, batch_format="pyarrow")
@@ -172,8 +188,7 @@ def sim_ann_lsh(sf_dir: str, n_planes: int = 12, n_tables: int = 8):
     regime (match probability (1-θ/π)^b per table); for the mid-cosine
     neighbors of this synthetic corpus the data-adaptive ``sim_ann_ivf`` is
     the recall-tested scale path."""
-    t0 = _emb_table(sf_dir)
-    dim = len(t0.column("embedding")[0])
+    dim = _emb_dim(sf_dir)
     ds = _emb_ds(sf_dir).map_batches(
         HyperplaneLSHStage(dim, n_planes=n_planes, n_tables=n_tables),
         batch_format="pyarrow",
@@ -231,8 +246,15 @@ def sim_ann_ivf(
     fraction. The SHAPE (bounded training sample, one bucket groupby, no
     full scan) is what carries to 10^10 rows.
     """
-    t0 = _emb_table(sf_dir)
-    dim = len(t0.column("embedding")[0])
+    pf = pq.ParquetFile(os.path.join(sf_dir, "embeddings.parquet"))
+    batches = []
+    seen = 0
+    for rb in pf.iter_batches(batch_size=4096, columns=["embedding"]):
+        batches.append(rb)
+        seen += rb.num_rows
+        if seen >= sample_limit:
+            break
+    t0 = pa.Table.from_batches(batches)
     sample = np.array(
         t0.slice(0, sample_limit).column("embedding").to_pylist(),
         dtype=np.float64,
