@@ -911,3 +911,71 @@ def q_user_sessions(sf_dir: str, gap_us: int = 1_800_000_000, n_partitions: int 
         .map_groups(sessionize, batch_format="pyarrow")
         .sort(["user_id", "session_no"])
     )
+
+
+# ---------------------------------------------------------------------------
+# streaming-shaped: SLIDING (overlapping) window aggregate per user —
+# 1-hour windows advancing every 15 min; each event flat-maps to the 4
+# windows covering it (explode), then one pre-combined groupby.
+# ---------------------------------------------------------------------------
+@_register(
+    "q_sliding_user_windows",
+    """
+    WITH win AS (
+      SELECT user_id,
+             CAST(FLOOR(epoch_us(ts) / 900000000) AS BIGINT) - g.o AS win_start_q,
+             value
+      FROM events,
+           LATERAL (SELECT unnest(range(0, 4)) AS o) g
+      WHERE CAST(FLOOR(epoch_us(ts) / 900000000) AS BIGINT) - g.o >= 0
+    )
+    SELECT user_id, win_start_q,
+           COUNT(*) AS n_events,
+           CAST(ROUND(SUM(value) * 100) AS BIGINT) AS value_c
+    FROM win
+    GROUP BY user_id, win_start_q
+    ORDER BY user_id, win_start_q
+    """,
+)
+def q_sliding_user_windows(sf_dir: str):
+    """Each event belongs to the 4 sliding windows [q-3, q] of its 15-min
+    quarter q; explode via np.repeat, pre-combine per batch, one final
+    groupby — the window explode is the CSQ 1→N flat-map shape applied to
+    event time."""
+    ev = read_parquet_clean(_pq(sf_dir, "events"), columns=["user_id", "ts", "value"])
+
+    def explode_windows(b: pa.Table) -> pa.Table:
+        us = pc.cast(b.column("ts"), pa.int64()).to_numpy(zero_copy_only=False)
+        q = us // 900_000_000
+        user = b.column("user_id").to_numpy(zero_copy_only=False)
+        val = b.column("value").to_numpy(zero_copy_only=False)
+        n = len(q)
+        offs = np.arange(4, dtype=np.int64)
+        win = (q[:, None] - offs[None, :]).ravel()
+        keep = win >= 0
+        t = pa.table(
+            {
+                "user_id": pa.array(np.repeat(user, 4)[keep], type=pa.int64()),
+                "win_start_q": pa.array(win[keep], type=pa.int64()),
+                "value": pa.array(np.repeat(val, 4)[keep]),
+                "one": pa.array(np.ones(int(keep.sum()), dtype=np.int64)),
+            }
+        )
+        return t
+
+    agg = partial_final_groupby(
+        ev.map_batches(explode_windows, batch_format="pyarrow"),
+        ["user_id", "win_start_q"],
+        [("one", "sum", "n_events"), ("value", "sum", "value_f")],
+    )
+    return agg.map_batches(
+        lambda b: pa.table(
+            {
+                "user_id": b.column("user_id"),
+                "win_start_q": b.column("win_start_q"),
+                "n_events": pc.cast(b.column("n_events"), pa.int64()),
+                "value_c": _to_cents(b.column("value_f")),
+            }
+        ),
+        batch_format="pyarrow",
+    ).sort(["user_id", "win_start_q"])
