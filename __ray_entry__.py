@@ -63,6 +63,12 @@ def _registry() -> dict[str, tuple]:
         reg.update(multimodal_q.QUERIES)
     except ImportError:
         pass
+    try:
+        from radiant_portal_pipeline_ray.pipelines import flagship
+
+        reg.update(flagship.QUERIES)
+    except ImportError:
+        pass
     return reg
 
 

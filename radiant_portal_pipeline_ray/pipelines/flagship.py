@@ -109,3 +109,46 @@ def run_flagship(sf_dir: str, work_dir: str | None = None, n_parts: int = 8):
     # post-commit QA gate (incl. cross-table live/tombstone exclusivity)
     assert report["qa"]["passed"], report["qa"]
     return eng.read_snapshot()
+
+
+# ---------------------------------------------------------------------------
+# Oracle-checked ENGINE entry: the driver's correctness gate replays the
+# full CDC pipeline (normalize → route → LWW merge → exactly-once commit)
+# and compares the committed snapshot value-for-value against a pure-SQL
+# reconstruction of the changelog outcome — inserts for every doc, v2
+# updates for every 3rd, deletes for every 17th, last-writer-wins, text
+# byte-identical to extract_text(html).
+# ---------------------------------------------------------------------------
+QUERIES: dict = {}
+
+_FLAGSHIP_SQL = """
+    WITH d AS (
+      SELECT doc_id, source, text,
+             'https://' || source || '.example.net/doc/' ||
+               lpad(CAST(doc_id AS VARCHAR), 8, '0') AS url,
+             ROW_NUMBER() OVER (ORDER BY doc_id) AS rn,
+             COUNT(*) OVER () AS n
+      FROM documents
+    ), upd AS (
+      SELECT doc_id, ROW_NUMBER() OVER (ORDER BY doc_id) AS ur
+      FROM documents WHERE doc_id % 3 = 0
+    )
+    SELECT d.url,
+           CAST(CASE WHEN upd.doc_id IS NOT NULL THEN d.n + upd.ur
+                     ELSE d.rn END AS BIGINT) AS lsn,
+           d.url || CASE WHEN upd.doc_id IS NOT NULL THEN ' v2 '
+                         ELSE ' v1 ' END || d.text AS text
+    FROM d LEFT JOIN upd ON d.doc_id = upd.doc_id
+    WHERE d.doc_id % 17 <> 0
+    ORDER BY url
+"""
+
+
+def cdc_flagship_state(sf_dir: str):
+    """Run the flagship CDC replay and return (url, lsn, text) of the
+    committed snapshot — value-compared against the SQL oracle above."""
+    ds = run_flagship(sf_dir)
+    return ds.select_columns(["url", "lsn", "text"]).sort("url")
+
+
+QUERIES["cdc_flagship_state"] = (cdc_flagship_state, _FLAGSHIP_SQL)
