@@ -14,16 +14,22 @@ Nothing in this package calls ``ray.init()``; sessions are owned by the
 caller (tests' conftest fixture, ``bench.py``, or the evaluation driver).
 """
 
+import os as _os
+
 import pyarrow as _pa
 
 # Long-lived Ray workers run many Arrow-heavy batches; jemalloc's default
 # decay keeps freed arenas resident and per-task UDF time was measured to
-# DOUBLE by round 4 of a replay (allocator pressure, not algorithm). Return
-# freed pages immediately. Runs in every worker because the UDF closures
-# import this package.
+# DOUBLE by round 4 of a replay (allocator pressure, not algorithm). A
+# SHORT decay returns pages promptly without the madvise/TLB-shootdown
+# storm that decay=0 can trigger across a full worker fleet (measured: 90%+
+# system time). Override with GRAFT_JEMALLOC_DECAY_MS; set to -1 to leave
+# jemalloc defaults untouched.
 try:
-    _pa.jemalloc_set_decay_ms(0)
-except (NotImplementedError, OSError):  # non-jemalloc builds
+    _decay = int(_os.environ.get("GRAFT_JEMALLOC_DECAY_MS", "500"))
+    if _decay >= 0:
+        _pa.jemalloc_set_decay_ms(_decay)
+except (NotImplementedError, OSError, ValueError):  # non-jemalloc builds
     pass
 
 from radiant_portal_pipeline_ray.config import EngineConfig
