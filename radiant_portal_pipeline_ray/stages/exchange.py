@@ -114,10 +114,19 @@ class ShardRouter:
         if n:
             parts = t.column("part").to_numpy(zero_copy_only=False)
             shard = parts % self.n_shards
+            # ONE shard-sort copy, then zero-copy slices per shard (a
+            # per-shard filter() would rescan the full block n_shards times)
+            order = np.argsort(shard, kind="stable")
+            t_sorted = t.take(pa.array(order))
+            ss = shard[order]
+            bounds = np.searchsorted(ss, np.arange(self.n_shards + 1))
             refs = []
-            for s in np.unique(shard):
-                sub = t.filter(pa.array(shard == s))
-                refs.append(self.shards[int(s)].push.remote(sub))
+            for s in range(self.n_shards):
+                lo, hi = int(bounds[s]), int(bounds[s + 1])
+                if hi > lo:
+                    refs.append(
+                        self.shards[s].push.remote(t_sorted.slice(lo, hi - lo))
+                    )
             # wait for delivery: guarantees every push is buffered before the
             # driver can possibly call finalize
             ray.get(refs)
