@@ -345,20 +345,58 @@ class CdcEngine:
         Each job is ``{"paths": <changelog paths>, "priority": int}``. As in
         the reference, a work unit is partition-scoped (one import-part run
         per partition): reordering is only meaningful across jobs touching
-        DIFFERENT partitions — two jobs tailing the same partition must be
-        submitted in lsn order, since the per-partition watermark drops any
-        event at-or-below it (idempotence guard). Returns the reports in
-        EXECUTION order, each annotated with its submission index.
+        DIFFERENT partitions — two jobs tailing the same partition must run
+        in submission (lsn) order, since the per-partition watermark drops
+        any event at-or-below it (idempotence guard). That constraint is
+        ENFORCED here: each job's touched partitions are probed with a
+        column-pruned (url-only) read, and the scheduler picks the best
+        (priority, submission) job whose earlier-submitted same-partition
+        jobs have all run — priority ordering that can never reorder a
+        partition's own stream. Returns the reports in EXECUTION order,
+        each annotated with its submission index.
         """
-        order = sorted(
-            range(len(jobs)),
-            key=lambda i: (jobs[i].get("priority", 1_000_000), i),
+        from radiant_portal_pipeline_ray.functions.hashing import (
+            assign_parts,
+            extract_domain,
         )
+
+        current = self.lake.current_manifest()
+        partitioner = Partitioner(
+            n_parts=self.cfg.n_parts,
+            salt_map=dict(current.salt_map) if current else {},
+            next_part=current.next_part if current else self.cfg.n_parts,
+        )
+        job_parts: list[set[int]] = []
+        for j in jobs:
+            parts: set[int] = set()
+            for p in _resolve_paths(j["paths"]):
+                urls = pq.read_table(p, columns=["url"]).column("url")
+                doms = extract_domain(urls)
+                pp = assign_parts(
+                    urls, doms, self.cfg.n_parts, partitioner.salt_map
+                )
+                parts.update(
+                    int(x) for x in pc.unique(pp).to_pylist() if x is not None
+                )
+            job_parts.append(parts)
+
+        remaining = list(range(len(jobs)))
         out = []
-        for i in order:
-            rep = self.apply(jobs[i]["paths"])
-            rep["job_index"] = i
-            rep["priority"] = jobs[i].get("priority", 1_000_000)
+        while remaining:
+            runnable = [
+                i
+                for i in remaining
+                if not any(
+                    k < i and job_parts[k] & job_parts[i] for k in remaining
+                )
+            ]
+            nxt = min(
+                runnable, key=lambda i: (jobs[i].get("priority", 1_000_000), i)
+            )
+            remaining.remove(nxt)
+            rep = self.apply(jobs[nxt]["paths"])
+            rep["job_index"] = nxt
+            rep["priority"] = jobs[nxt].get("priority", 1_000_000)
             out.append(rep)
         return out
 

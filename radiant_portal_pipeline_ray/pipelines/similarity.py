@@ -117,6 +117,12 @@ def sim_topk_cosine(sf_dir: str):
 
 
 # ---------------------------------------------------------------------------
+#: sim_neardup_pairs_q broadcasts the FULL quantized embedding matrix to
+#: every batch — it exists as the test-scale exactness anchor the
+#: approximate paths are judged against, never as a scale path. Guarded.
+_NEARDUP_MAX_ROWS = 200_000
+
+
 @_register(
     "sim_neardup_pairs_q",
     """
@@ -139,8 +145,17 @@ def sim_topk_cosine(sf_dir: str):
     """,
 )
 def sim_neardup_pairs_q(sf_dir: str):
-    """Pairs with quantized cosine ≥ 0.35 (= 7/20, exact rational check)."""
+    """Pairs with quantized cosine ≥ 0.35 (= 7/20, exact rational check).
+
+    TEST-SCALE ONLY (all-pairs by construction): this is the exactness
+    anchor; ``sim_ann_ivf`` / ``sim_ann_lsh`` are the scale paths."""
     t = _emb_table(sf_dir)
+    if t.num_rows > _NEARDUP_MAX_ROWS:
+        raise ValueError(
+            f"sim_neardup_pairs_q is the all-pairs exactness anchor and is "
+            f"gated to ≤{_NEARDUP_MAX_ROWS} rows (got {t.num_rows}); use "
+            "sim_ann_ivf / sim_ann_lsh at scale"
+        )
     all_q = np.rint(
         np.array(t.column("embedding").to_pylist(), dtype=np.float64) * 1000
     )

@@ -86,3 +86,29 @@ def test_apply_backlog_priority_order(ray_session, tmp_path):
     assert [r["priority"] for r in reports] == [10, 20, 30]
     snap = eng.snapshot_table(["url"])
     assert snap.num_rows == 120
+
+
+def test_apply_backlog_same_partition_stays_in_submission_order(
+    ray_session, tmp_path
+):
+    """Priority can NEVER reorder two jobs that touch the same partition —
+    the scheduler probes each job's partitions and holds the later-submitted
+    job back, else the per-partition watermark would drop its events."""
+    jobs = [
+        # same domain (same partition), lsns 1..40 then 41..80 — the SECOND
+        # job has the better priority but must still run second
+        {"paths": [_write_batch(str(tmp_path / "a1.parquet"), "aaa.org", 1, 40)],
+         "priority": 50},
+        {"paths": [_write_batch(str(tmp_path / "a2.parquet"), "aaa.org", 100, 40)],
+         "priority": 1},
+        # unrelated partition, middle priority → runs first
+        {"paths": [_write_batch(str(tmp_path / "b.parquet"), "aab.org", 200, 40)],
+         "priority": 10},
+    ]
+    eng = CdcEngine(str(tmp_path / "lake"), EngineConfig(n_parts=4))
+    reports = eng.apply_backlog(jobs)
+    assert [r["job_index"] for r in reports] == [2, 0, 1]
+    snap = eng.snapshot_table(["url"])
+    # nothing dropped: 40 urls per aaa job are distinct batches? same urls
+    # p/000000..39 twice -> 40 aaa urls + 40 aab urls
+    assert snap.num_rows == 80
