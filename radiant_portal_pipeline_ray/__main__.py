@@ -1,0 +1,138 @@
+"""Command-line entry point: ``python -m radiant_portal_pipeline_ray``.
+
+Owns its Ray session (library code never calls ray.init — SURVEY driver
+contract). Subcommands mirror the reference's operational surface
+(import-part run / maintenance / data-QA,
+`radiant/dags/import_radiant.py`, `radiant/dags/data_integrity_starrocks.py`):
+
+    apply    --lake L --changelog DIR_OR_FILES [--n-parts N] [--exchange sort|actor]
+    compact  --lake L [--min-files K] [--purge-tombstones]
+    gc       --lake L [--keep-versions K] [--staging-age-s S]
+    qa       --lake L
+    show     --lake L            # manifest summary
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _engine(args):
+    from radiant_portal_pipeline_ray.config import EngineConfig
+    from radiant_portal_pipeline_ray.pipelines.apply import CdcEngine
+
+    cfg = EngineConfig()
+    if getattr(args, "n_parts", None):
+        cfg.n_parts = args.n_parts
+    if getattr(args, "exchange", None):
+        cfg.exchange = args.exchange
+    return CdcEngine(args.lake, cfg)
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="radiant_portal_pipeline_ray")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    ap = sub.add_parser("apply", help="apply a changelog batch to the lake")
+    ap.add_argument("--lake", required=True)
+    ap.add_argument("--changelog", required=True, nargs="+")
+    ap.add_argument("--n-parts", type=int, default=None)
+    ap.add_argument("--exchange", choices=["sort", "actor"], default=None)
+
+    cp = sub.add_parser("compact", help="compact partitions / purge tombstones")
+    cp.add_argument("--lake", required=True)
+    cp.add_argument("--min-files", type=int, default=2)
+    cp.add_argument("--purge-tombstones", action="store_true")
+
+    gp = sub.add_parser("gc", help="prune old manifests + orphaned files")
+    gp.add_argument("--lake", required=True)
+    gp.add_argument("--keep-versions", type=int, default=2)
+    gp.add_argument("--staging-age-s", type=float, default=3600.0)
+
+    qp = sub.add_parser("qa", help="run the post-commit QA suite")
+    qp.add_argument("--lake", required=True)
+
+    sp = sub.add_parser("show", help="print the current manifest summary")
+    sp.add_argument("--lake", required=True)
+
+    args = p.parse_args(argv)
+
+    needs_ray = args.cmd in ("apply", "compact", "qa")
+    owns_session = False
+    if needs_ray:
+        import ray
+
+        if not ray.is_initialized():
+            ray.init(
+                address="local", include_dashboard=False, logging_level="ERROR"
+            )
+            owns_session = True
+
+    try:
+        if args.cmd == "apply":
+            eng = _engine(args)
+            cl = args.changelog[0] if len(args.changelog) == 1 else args.changelog
+            out = eng.apply(cl)
+        elif args.cmd == "compact":
+            from radiant_portal_pipeline_ray.pipelines.maintenance import compact
+
+            out = compact(
+                args.lake,
+                min_files=args.min_files,
+                purge_tombstones=args.purge_tombstones,
+            )
+        elif args.cmd == "gc":
+            from radiant_portal_pipeline_ray.state.manifest import Lake
+
+            removed = Lake(args.lake).gc_orphans(
+                keep_versions=args.keep_versions,
+                staging_age_s=args.staging_age_s,
+            )
+            out = {"removed": removed}
+        elif args.cmd == "qa":
+            from radiant_portal_pipeline_ray.pipelines.apply import CdcEngine
+            from radiant_portal_pipeline_ray.stages.qa import (
+                run_checks,
+                snapshot_checks,
+            )
+
+            eng = _engine(args)
+            out = run_checks(eng.read_snapshot(), snapshot_checks())
+        else:  # show
+            from radiant_portal_pipeline_ray.state.manifest import Lake
+
+            man = Lake(args.lake).current_manifest()
+            if man is None:
+                out = {"version": None}
+            else:
+                out = {
+                    "version": man.version,
+                    "txn_id": man.txn_id,
+                    "n_parts": man.n_parts,
+                    "partitions": len(man.partitions),
+                    "rows": sum(st.rows for st in man.partitions.values()),
+                    "tombstones": sum(
+                        st.tombstones for st in man.partitions.values()
+                    ),
+                    "bytes": sum(st.bytes for st in man.partitions.values()),
+                    "min_watermark": man.min_watermark(),
+                    "salted_domains": sorted(man.salt_map),
+                    "schema": [
+                        [f.name, str(f.type)] for f in (man.schema or [])
+                    ],
+                }
+        print(json.dumps(out, default=str))
+        return 0
+    finally:
+        # only tear down a session WE created (a caller's session is theirs)
+        if owns_session:
+            import ray
+
+            if ray.is_initialized():
+                ray.shutdown()
+
+
+if __name__ == "__main__":
+    sys.exit(main())
