@@ -109,6 +109,17 @@ class CdcEngine:
         cfg = self.cfg
         paths = _resolve_paths(changelog)
         current = self.lake.current_manifest()
+        # Guard: the base hash-partition domain is baked into every committed
+        # row's routing. Applying with a different n_parts would re-route urls
+        # away from their carried state (duplicate live urls, corrupt
+        # watermark domain). The manifest records n_parts; cross-check it.
+        if current is not None and current.n_parts and current.n_parts != cfg.n_parts:
+            raise ValueError(
+                f"lake was committed with n_parts={current.n_parts} but config "
+                f"requests n_parts={cfg.n_parts}; base partition count is "
+                "immutable for an existing lake (salting splits hot domains "
+                "instead — see Partitioner)"
+            )
 
         def _noop_report(events_in: int) -> dict:
             return {
@@ -711,6 +722,27 @@ class CdcEngine:
                             f"partition {p} advanced from v{merge_v} to v{base_v} "
                             f"during apply txn {txn_id}; re-run apply"
                         )
+                # The rebuilt manifest republishes salt_map / pending
+                # migrations / next_part derived from merge_base's
+                # partitioner. If a concurrent writer changed routing state
+                # (even on disjoint partitions), re-committing ours would
+                # silently drop its salting decisions or double-allocate a
+                # salt partition id — mis-routed rows. Refuse instead.
+                old_route = (
+                    (merge_base.salt_map, merge_base.pending_migrations,
+                     merge_base.next_part)
+                    if merge_base else ({}, {}, None)
+                )
+                new_route = (
+                    (base.salt_map, base.pending_migrations, base.next_part)
+                    if base else ({}, {}, None)
+                )
+                if old_route != new_route:
+                    raise ConcurrentWriterConflict(
+                        f"partitioner routing state (salt_map/pending_migrations/"
+                        f"next_part) diverged between v{merge_v} and v{base_v} "
+                        f"during apply txn {txn_id}; re-run apply"
+                    )
             parts: dict[int, PartitionState] = (
                 {p: st for p, st in base.partitions.items()} if base else {}
             )

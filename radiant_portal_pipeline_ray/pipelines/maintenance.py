@@ -67,9 +67,10 @@ def _max_warc_ts_us(lake: Lake, manifest: Manifest) -> int | None:
         for rel in st.files:
             path = lake.abspath(rel)
             md = pq.ParquetFile(path).metadata
-            try:
-                ci = md.schema.to_arrow_schema().get_field_index("warc_ts")
-            except KeyError:
+            # pa.Schema.get_field_index returns -1 for a missing column (it
+            # never raises); a -1 would silently read the LAST column's stats
+            ci = md.schema.to_arrow_schema().get_field_index("warc_ts")
+            if ci < 0:
                 continue
             got = False
             for rg in range(md.num_row_groups):

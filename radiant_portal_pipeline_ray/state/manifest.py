@@ -283,11 +283,17 @@ class Lake:
           older than ``staging_age_s`` — an in-flight apply/compact keeps
           touching its staging dir, so a concurrent GC must not wipe files
           that a commit is about to promote.
+        - The same quiescence age applies to unreferenced DATA files: an
+          in-flight apply has a promote→commit window (commit retry can
+          sleep) during which freshly promoted files are referenced by no
+          manifest yet; deleting them would make the subsequent commit
+          publish a manifest pointing at missing files.
 
         Safe after a crash mid-commit: staged/promoted-but-unreferenced files
         are inert; re-running apply regenerates them deterministically.
         """
         removed: list[str] = []
+        now = time.time()
         vs = self.versions()
         for v in vs[:-keep_versions] if keep_versions > 0 else vs[:-1]:
             path = self._manifest_path(v)
@@ -303,13 +309,18 @@ class Lake:
             if not os.path.isdir(pdir):
                 continue
             for fn in os.listdir(pdir):
-                rel = os.path.relpath(os.path.join(pdir, fn), self.root)
+                path = os.path.join(pdir, fn)
+                rel = os.path.relpath(path, self.root)
                 if rel not in referenced:
+                    # quiescence guard: a freshly promoted file may belong to
+                    # an in-flight commit (promote→commit window); only
+                    # delete once it is older than staging_age_s
+                    if now - os.path.getmtime(path) < staging_age_s:
+                        continue
                     os.remove(self.abspath(rel))
                     removed.append(rel)
         # staging: only txn dirs quiescent for > staging_age_s (an in-flight
         # writer's dir has a recent mtime somewhere under it)
-        now = time.time()
         for txn in os.listdir(self.staging_root):
             sd = os.path.join(self.staging_root, txn)
             newest = os.path.getmtime(sd)

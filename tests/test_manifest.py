@@ -73,6 +73,10 @@ def test_gc_orphans(tmp_lake):
         with open(os.path.join(lake.data_dir, "part=0", fn), "wb") as f:
             f.write(b"x")
     lake.commit(man)
-    removed = lake.gc_orphans()
+    # default quiescence: a freshly written orphan may belong to an in-flight
+    # promote→commit window and must survive the default-age GC
+    assert "data/part=0/orphan.parquet" not in lake.gc_orphans()
+    assert os.path.exists(lake.abspath("data/part=0/orphan.parquet"))
+    removed = lake.gc_orphans(staging_age_s=0.0)
     assert "data/part=0/orphan.parquet" in removed
     assert os.path.exists(lake.abspath("data/part=0/keep.parquet"))
