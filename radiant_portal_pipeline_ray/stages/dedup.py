@@ -447,50 +447,3 @@ def jaccard_exact_int(a: set, b: set) -> tuple[int, int]:
     """(intersection, union) sizes — integer-exact for threshold checks."""
     inter = len(a & b)
     return inter, len(a) + len(b) - inter
-
-
-class JaccardVerifyStage:
-    """Verify candidate (doc_a, doc_b) pairs against CANDIDATE-ONLY shingle
-    sets; integer threshold: keep iff den*inter >= num*union.
-
-    ``shingles_by_id`` covers only docs that appear in candidate pairs
-    (semi-filtered from the corpus — bounded by the candidate count, never
-    the corpus; see pipelines/dedup.candidate_shingle_state). Accepts a
-    ``ray.ObjectRef`` so the dict ships through the object store once."""
-
-    def __init__(self, shingles_by_id, num: int, den: int, k: int = 3):
-        #: may be a ray.ObjectRef — resolved lazily on the FIRST batch so the
-        #: fetch happens on the worker (instances run as plain tasks; an
-        #: eager ray.get here would pull the dict onto the driver)
-        self._sh_ref = shingles_by_id
-        self.sh: dict | None = None
-        self.num = num
-        self.den = den
-
-    def _resolve(self):
-        if self.sh is None:
-            import ray
-
-            obj = self._sh_ref
-            self.sh = ray.get(obj) if isinstance(obj, ray.ObjectRef) else obj
-
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        self._resolve()
-        a_ids = batch.column("doc_a").to_numpy(zero_copy_only=False)
-        b_ids = batch.column("doc_b").to_numpy(zero_copy_only=False)
-        n = len(a_ids)
-        inters = np.zeros(n, dtype=np.int64)
-        unions = np.zeros(n, dtype=np.int64)
-        keep = np.zeros(n, dtype=bool)
-        for i in range(n):
-            sa, sb = self.sh.get(a_ids[i]), self.sh.get(b_ids[i])
-            if not sa or not sb:
-                continue
-            inter = len(sa & sb)
-            union = len(sa) + len(sb) - inter
-            inters[i] = inter
-            unions[i] = union
-            keep[i] = union > 0 and self.den * inter >= self.num * union
-        out = batch.append_column("inter", pa.array(inters, type=pa.int64()))
-        out = out.append_column("uni", pa.array(unions, type=pa.int64()))
-        return out.filter(pa.array(keep))
