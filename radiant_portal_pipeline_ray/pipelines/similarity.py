@@ -16,6 +16,7 @@
 
 from __future__ import annotations
 
+import logging
 import os
 
 import numpy as np
@@ -31,7 +32,10 @@ from radiant_portal_pipeline_ray.stages.similarity import (
     HyperplaneLSHStage,
     _emb_matrix,
     finalize_topk,
+    make_cosine_bucket_pairs,
 )
+
+logger = logging.getLogger(__name__)
 
 QUERIES: dict = {}
 N_QUERIES = 5
@@ -194,48 +198,77 @@ def sim_neardup_pairs_q(sf_dir: str):
 
 
 # ---------------------------------------------------------------------------
+def _bucketed_ann_pairs(
+    ds: "rd.Dataset",
+    bucket_col: str,
+    threshold: float,
+    max_bucket: int,
+    query: str,
+) -> "rd.Dataset":
+    """(vector, bucket) rows → deduped within-bucket cosine pairs.
+
+    Scale shape: ONE coarse-pkey shuffle groups millions of tiny buckets
+    into 64 partitions (each processed by one vectorized call —
+    stages/dedup.make_pkey_adder rationale); the pair kernel caps hot
+    buckets with logged drop markers and computes similarities in blocked
+    strips (stages/similarity.make_cosine_bucket_pairs); the final pair
+    dedup is a partial-before-shuffle grouped min, not a per-group Python
+    pass."""
+    from radiant_portal_pipeline_ray.stages.aggregates import (
+        partial_final_groupby,
+    )
+    from radiant_portal_pipeline_ray.stages.dedup import make_pkey_adder
+
+    gen = make_cosine_bucket_pairs(bucket_col, threshold, max_bucket)
+    pairs = (
+        ds.map_batches(make_pkey_adder(bucket_col), batch_format="pyarrow")
+        .groupby("pkey")
+        .map_groups(gen, batch_format="pyarrow")
+        .materialize()
+    )
+    markers = pairs.map_batches(
+        lambda b: b.filter(pc.equal(b.column("vec_a"), -1)),
+        batch_format="pyarrow",
+    ).take_all()  # ≤ one row per dropped bucket — tiny
+    if markers:
+        logger.warning(
+            "%s: dropped %d over-cap ANN buckets (sizes %s...)",
+            query,
+            len(markers),
+            sorted((int(m["cos_r"]) for m in markers), reverse=True)[:5],
+        )
+    real = pairs.map_batches(
+        lambda b: b.filter(pc.not_equal(b.column("vec_a"), -1)),
+        batch_format="pyarrow",
+    )
+    dedup = partial_final_groupby(
+        real, ["vec_a", "vec_b"], [("cos_r", "min", "cos_r")]
+    )
+    return dedup.sort(["vec_a", "vec_b"])
+
+
 @_register("sim_ann_lsh", None)  # approximate — rows-only; recall in pytest
-def sim_ann_lsh(sf_dir: str, n_planes: int = 12, n_tables: int = 8):
+def sim_ann_lsh(
+    sf_dir: str,
+    n_planes: int = 12,
+    n_tables: int = 8,
+    max_bucket: int = 4096,
+):
     """Multi-table LSH approximate neighbors: vectors sharing ANY of the
     ``n_tables`` hyperplane-signature buckets are candidates (union →
     dedup); emit pairwise cosines ≥ 0.2. The bucket groupby replaces the
-    all-pairs scan. Hyperplane LSH concentrates recall in the HIGH-cosine
-    regime (match probability (1-θ/π)^b per table); for the mid-cosine
-    neighbors of this synthetic corpus the data-adaptive ``sim_ann_ivf`` is
-    the recall-tested scale path."""
+    all-pairs scan; hot buckets are capped with logged drops and pair
+    extraction is fully vectorized (blocked matmul — no per-pair Python
+    loop). Hyperplane LSH concentrates recall in the HIGH-cosine regime
+    (match probability (1-θ/π)^b per table); for the mid-cosine neighbors
+    of this synthetic corpus the data-adaptive ``sim_ann_ivf`` is the
+    recall-tested scale path."""
     dim = _emb_dim(sf_dir)
     ds = _emb_ds(sf_dir).map_batches(
         HyperplaneLSHStage(dim, n_planes=n_planes, n_tables=n_tables),
         batch_format="pyarrow",
     )
-
-    def bucket_pairs(g: pa.Table) -> pa.Table:
-        E = _emb_matrix(g)
-        En = E / np.maximum(np.linalg.norm(E, axis=1, keepdims=True), 1e-30)
-        ids = g.column("vec_id").to_numpy(zero_copy_only=False)
-        S = En @ En.T
-        a, b, c = [], [], []
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                if S[i, j] >= 0.2:
-                    lo, hi = sorted((int(ids[i]), int(ids[j])))
-                    a.append(lo)
-                    b.append(hi)
-                    c.append(round(float(S[i, j]), 6))
-        return pa.table(
-            {
-                "vec_a": pa.array(a, type=pa.int64()),
-                "vec_b": pa.array(b, type=pa.int64()),
-                "cos_r": pa.array(c, type=pa.float64()),
-            }
-        )
-
-    pairs = ds.groupby("lsh_bucket").map_groups(bucket_pairs, batch_format="pyarrow")
-    return (
-        pairs.groupby(["vec_a", "vec_b"])
-        .map_groups(lambda g: g.slice(0, 1), batch_format="pyarrow")
-        .sort(["vec_a", "vec_b"])
-    )
+    return _bucketed_ann_pairs(ds, "lsh_bucket", 0.2, max_bucket, "sim_ann_lsh")
 
 
 # ---------------------------------------------------------------------------
@@ -246,6 +279,7 @@ def sim_ann_ivf(
     nprobe: int = 6,
     kmeans_iters: int = 5,
     sample_limit: int = 10_000,
+    max_cell: int = 8192,
 ):
     """IVF approximate neighbors — the data-adaptive scale path: k-means
     cells trained on a bounded driver-side sample, every vector multi-
@@ -301,31 +335,4 @@ def sim_ann_ivf(
         )
 
     ds = _emb_ds(sf_dir).map_batches(assign_cells, batch_format="pyarrow")
-
-    def cell_pairs(g: pa.Table) -> pa.Table:
-        E = _emb_matrix(g)
-        En = E / np.maximum(np.linalg.norm(E, axis=1, keepdims=True), 1e-30)
-        ids = g.column("vec_id").to_numpy(zero_copy_only=False)
-        order = np.argsort(ids, kind="stable")
-        En, ids = En[order], ids[order]
-        keep_first = np.concatenate([[True], ids[1:] != ids[:-1]])
-        En, ids = En[keep_first], ids[keep_first]
-        S = En @ En.T
-        iu, ju = np.triu_indices(len(ids), k=1)
-        m = S[iu, ju] >= 0.2
-        return pa.table(
-            {
-                "vec_a": pa.array(ids[iu[m]], type=pa.int64()),
-                "vec_b": pa.array(ids[ju[m]], type=pa.int64()),
-                "cos_r": pa.array(
-                    np.round(S[iu[m], ju[m]], 6), type=pa.float64()
-                ),
-            }
-        )
-
-    pairs = ds.groupby("cell").map_groups(cell_pairs, batch_format="pyarrow")
-    return (
-        pairs.groupby(["vec_a", "vec_b"])
-        .map_groups(lambda g: g.slice(0, 1), batch_format="pyarrow")
-        .sort(["vec_a", "vec_b"])
-    )
+    return _bucketed_ann_pairs(ds, "cell", 0.2, max_cell, "sim_ann_ivf")
