@@ -835,6 +835,112 @@ _DEDUP_CORPUS_SQL = (
 )
 
 
+#: below this many EDGES the component fold runs as driver union-find (a
+#: pair graph of 5M edges is ~80 MB — trivial); above it, distributed
+#: min-label propagation takes over. Monkeypatch to 0 in tests to force
+#: the distributed path.
+_CC_DRIVER_EDGE_THRESHOLD = 5_000_000
+
+
+def _grouped_min(ds: "rd.Dataset", keys: list[str], col: str, out: str):
+    from radiant_portal_pipeline_ray.stages.aggregates import (
+        partial_final_groupby,
+    )
+
+    return partial_final_groupby(ds, keys, [(col, "min", out)])
+
+
+def connected_components_distributed(
+    pairs: "rd.Dataset", max_iters: int = 64
+) -> "rd.Dataset":
+    """Distributed connected components by iterated min-label propagation —
+    zero driver state (the round-2 "what's missing #2" closure).
+
+    Each round: labels ⋈ symmetric edges on the neighbor side (one
+    hash-partitioned join), per-node min of neighbor labels (one
+    pkey-partitioned grouped min), fold into the current labels (one left
+    join + vectorized min), then a scalar changed-count decides
+    convergence. Rounds needed = graph diameter; near-dup clusters are
+    dense and shallow (dup groups share most shingles), so a handful of
+    rounds suffices. Returns ``(doc_id, rep_doc_id)`` for every node of
+    the pair graph, rep = component-min doc_id.
+    """
+    from radiant_portal_pipeline_ray.stages.hashjoin import (
+        hash_partitioned_join,
+    )
+
+    def sym(b: pa.Table) -> pa.Table:
+        a = b.column("doc_a").to_numpy(zero_copy_only=False)
+        bb = b.column("doc_b").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "node": pa.array(np.concatenate([a, bb]), type=pa.int64()),
+                "nbr": pa.array(np.concatenate([bb, a]), type=pa.int64()),
+            }
+        )
+
+    edges = pairs.map_batches(sym, batch_format="pyarrow").materialize()
+
+    # round 0: label(node) = min(node, min neighbor id)
+    def self_min(b: pa.Table) -> pa.Table:
+        m = np.minimum(
+            b.column("node").to_numpy(zero_copy_only=False),
+            b.column("nbr").to_numpy(zero_copy_only=False),
+        )
+        return pa.table(
+            {"node": b.column("node"), "lbl": pa.array(m, type=pa.int64())}
+        )
+
+    labels = _grouped_min(
+        edges.map_batches(self_min, batch_format="pyarrow"),
+        ["node"], "lbl", "label",
+    ).materialize()
+
+    for it in range(max_iters):
+        nbr_labels = labels.map_batches(
+            lambda b: b.rename_columns(["nbr", "nbr_lbl"]),
+            batch_format="pyarrow",
+        )
+        prop = hash_partitioned_join(edges, nbr_labels, left_on="nbr")
+        cand = _grouped_min(
+            prop.map_batches(
+                lambda b: b.select(["node", "nbr_lbl"]), batch_format="pyarrow"
+            ),
+            ["node"], "nbr_lbl", "m",
+        )
+        folded = hash_partitioned_join(labels, cand, left_on="node", how="left")
+
+        def fold(b: pa.Table) -> pa.Table:
+            lbl = b.column("label").to_numpy(zero_copy_only=False)
+            m = pc.fill_null(
+                b.column("m"), np.iinfo(np.int64).max
+            ).to_numpy(zero_copy_only=False)
+            new = np.minimum(lbl, m)
+            return pa.table(
+                {
+                    "node": b.column("node"),
+                    "label": pa.array(new, type=pa.int64()),
+                    "__chg": pa.array(
+                        (new < lbl).astype(np.int64), type=pa.int64()
+                    ),
+                }
+            )
+
+        folded = folded.map_batches(fold, batch_format="pyarrow").materialize()
+        changed = folded.sum("__chg")
+        labels = folded.drop_columns(["__chg"]).materialize()
+        if not changed:
+            break
+    else:  # pragma: no cover
+        logger.warning(
+            "connected_components: hit max_iters=%d before fixpoint", max_iters
+        )
+    return labels.map_batches(
+        lambda b: b.rename_columns(["doc_id", "rep_doc_id"]),
+        batch_format="pyarrow",
+    ).sort("doc_id")
+
+
 @_register("dd_dedup_corpus", _DEDUP_CORPUS_SQL)
 def dd_dedup_corpus(sf_dir: str, max_bucket: int = 4096):
     """Near-dup CLUSTER dedup: exact J ≥ 0.5 pairs → connected components →
@@ -842,14 +948,19 @@ def dd_dedup_corpus(sf_dir: str, max_bucket: int = 4096):
     Downstream, "keep rows whose doc_id ∉ mapping OR doc_id = rep_doc_id"
     yields the deduplicated corpus.
 
-    The component fold runs driver-side union-find over the PAIR set — the
-    near-dup graph, orders of magnitude smaller than the corpus (fine to
-    ~10^7 edges). At larger edge counts the same mapping is computed
-    distributively by iterated min-label propagation: join labels to edges,
-    take per-node min, repeat to fixpoint — each round one hash join +
-    groupby-min over the edge set.
+    Below ``_CC_DRIVER_EDGE_THRESHOLD`` edges the component fold runs
+    driver-side union-find over the PAIR set (the near-dup graph, orders of
+    magnitude smaller than the corpus). Above it — or when tests force it —
+    ``connected_components_distributed`` computes the same mapping by
+    iterated min-label propagation with zero driver state.
     """
-    pairs = dd_ngram_jaccard(sf_dir, max_bucket=max_bucket)
+    pairs = dd_ngram_jaccard(sf_dir, max_bucket=max_bucket).materialize()
+    if pairs.count() > _CC_DRIVER_EDGE_THRESHOLD:
+        return connected_components_distributed(
+            pairs.map_batches(
+                lambda b: b.select(["doc_a", "doc_b"]), batch_format="pyarrow"
+            )
+        )
     pt = pa.concat_tables(ray.get(pairs.to_arrow_refs()))
     a = pt.column("doc_a").to_numpy()
     b = pt.column("doc_b").to_numpy()

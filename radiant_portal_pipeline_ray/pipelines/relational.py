@@ -443,7 +443,13 @@ def q_union_distinct_custkeys(sf_dir: str):
     GROUP BY token ORDER BY n DESC, token LIMIT 20
     """,
 )
-def q_top_tokens(sf_dir: str):
+def q_top_tokens(sf_dir: str, k: int = 20, n_partitions: int = 64):
+    """Global token top-k WITHOUT materializing the vocabulary anywhere:
+    per-batch partial counts → ONE coarse-pkey shuffle (every partial of a
+    token lands in the same partition, so per-partition sums are its exact
+    global count) → per-partition top-k prune (≤ k rows leave each
+    partition) → tiny driver merge of ≤ n_partitions·k rows. Web-scale
+    vocabularies (10⁹ tokens) never hit the driver (round-2 review fix)."""
     docs = read_parquet_clean(_pq(sf_dir, "documents"), columns=["text"])
 
     def explode_count(b: pa.Table) -> pa.Table:
@@ -451,19 +457,38 @@ def q_top_tokens(sf_dir: str):
         toks = toks.filter(pc.not_equal(toks, ""))
         t = pa.table({"token": toks})
         g = t.group_by("token").aggregate([("token", "count")])
-        return g.rename_columns(["token", "n"])
+        g = g.rename_columns(["token", "n"])
+        from radiant_portal_pipeline_ray.stages.hashjoin import _bucket_of
 
-    counts = (
+        return g.append_column(
+            pa.field("__pkey", pa.int32()),
+            _bucket_of(g, ["token"], n_partitions),
+        )
+
+    def partition_topk(group: pa.Table) -> pa.Table:
+        g = (
+            group.drop_columns(["__pkey"])
+            .group_by("token")
+            .aggregate([("n", "sum")])
+            .rename_columns(["token", "n"])
+        )
+        return g.take(
+            pc.sort_indices(
+                g, sort_keys=[("n", "descending"), ("token", "ascending")]
+            )
+        ).slice(0, k)
+
+    pruned = (
         docs.map_batches(explode_count, batch_format="pyarrow")
-        .groupby("token")
-        .aggregate(rd.aggregate.Sum("n", alias_name="n"))
+        .groupby("__pkey")
+        .map_groups(partition_topk, batch_format="pyarrow")
     )
-    t = pa.Table.from_pylist(counts.take_all())
+    t = pa.Table.from_pylist(pruned.take_all())  # ≤ n_partitions·k rows
     t = t.take(
         pc.sort_indices(
             t, sort_keys=[("n", "descending"), ("token", "ascending")]
         )
-    ).slice(0, 20)
+    ).slice(0, k)
     return t.set_column(1, pa.field("n", pa.int64()), t.column("n").cast(pa.int64()))
 
 

@@ -65,3 +65,12 @@ def test_distributed_path_builds_no_driver_state(monkeypatch):
     monkeypatch.setattr(dd, "candidate_shingle_table", boom)
     got = _pdf(dd.dd_ngram_jaccard(SF))
     assert len(got) > 0
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_connected_components_distributed_matches_union_find(monkeypatch):
+    expected = _pdf(dd.dd_dedup_corpus(SF))
+    assert len(expected) > 0
+    monkeypatch.setattr(dd, "_CC_DRIVER_EDGE_THRESHOLD", 0)
+    got = _pdf(dd.dd_dedup_corpus(SF))
+    pd.testing.assert_frame_equal(got, expected)
