@@ -675,6 +675,118 @@ def q_order_overlap_windows(sf_dir: str):
 
 
 # ---------------------------------------------------------------------------
+# A7: array_agg interval-overlap join against a broadcast label table
+# ref: germline_cnv_occurrence_insert_partition_delta.sql:1-22 — cnv rows
+#      pick up array_agg(cytoband.label) for every overlapping band within
+#      the chromosome group; here orders pick up every priority-group
+#      calendar window overlapping [o_orderdate, o_orderdate+45d]
+# ---------------------------------------------------------------------------
+_WINDOW_PRIORITIES = (
+    "1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW",
+)
+_WINDOW_YEARS = tuple(range(1995, 2002))
+
+
+def _priority_windows_table() -> pa.Table:
+    """Deterministic broadcast interval table: two overlapping windows per
+    (priority, year) — the cytoband-table analogue."""
+    import datetime as _dt
+
+    grp, s, e, lbl = [], [], [], []
+    for p in _WINDOW_PRIORITIES:
+        for y in _WINDOW_YEARS:
+            grp += [p, p]
+            s += [_dt.datetime(y, 1, 1), _dt.datetime(y, 6, 1)]
+            e += [_dt.datetime(y, 8, 31), _dt.datetime(y, 12, 31)]
+            lbl += [f"y{y}-first", f"y{y}-second"]
+    return pa.table(
+        {
+            "grp": pa.array(grp, type=pa.string()),
+            "s": pa.array(s, type=pa.timestamp("us")),
+            "e": pa.array(e, type=pa.timestamp("us")),
+            "lbl": pa.array(lbl, type=pa.string()),
+        }
+    )
+
+
+def _priority_windows_values() -> str:
+    rows = []
+    for p in _WINDOW_PRIORITIES:
+        for y in _WINDOW_YEARS:
+            rows.append(
+                f"('{p}', TIMESTAMP '{y}-01-01', TIMESTAMP '{y}-08-31', "
+                f"'y{y}-first')"
+            )
+            rows.append(
+                f"('{p}', TIMESTAMP '{y}-06-01', TIMESTAMP '{y}-12-31', "
+                f"'y{y}-second')"
+            )
+    return ",\n      ".join(rows)
+
+
+@_register(
+    "q_priority_window_labels",
+    f"""
+    WITH iv(grp, s, e, lbl) AS (VALUES
+      {_priority_windows_values()}
+    )
+    SELECT o_orderkey,
+           array_to_string(
+             COALESCE(list_sort(list(lbl) FILTER (lbl IS NOT NULL)), []),
+             ',') AS window_labels
+    FROM orders o LEFT JOIN iv
+      ON iv.grp = o.o_orderpriority
+     AND iv.s <= o.o_orderdate + INTERVAL 45 DAY
+     AND iv.e >= o.o_orderdate
+    GROUP BY o_orderkey
+    ORDER BY o_orderkey
+    """,
+)
+def q_priority_window_labels(sf_dir: str):
+    """Every order collects the sorted labels of all broadcast calendar
+    windows (same priority group) overlapping its 45-day activity window —
+    the A7 ``array_agg`` interval join as a broadcast map_batches stage
+    (no shuffle at all; the interval table ships once in the closure)."""
+    from radiant_portal_pipeline_ray.stages.joins import (
+        make_interval_overlap_join,
+    )
+
+    orders = read_parquet_clean(
+        _pq(sf_dir, "orders"),
+        columns=["o_orderkey", "o_orderpriority", "o_orderdate"],
+    )
+    join = make_interval_overlap_join(
+        _priority_windows_table(),
+        group_key="o_orderpriority",
+        left_start="o_orderdate",
+        left_end="o_end",
+        iv_group="grp",
+        iv_start="s",
+        iv_end="e",
+        iv_label="lbl",
+        out_col="labels",
+    )
+
+    def run(b: pa.Table) -> pa.Table:
+        b = b.append_column(
+            "o_end",
+            pc.add(
+                b.column("o_orderdate"),
+                pa.scalar(45 * 86_400_000_000, type=pa.duration("us")),
+            ),
+        )
+        j = join(b)
+        return pa.table(
+            {
+                "o_orderkey": j.column("o_orderkey"),
+                "window_labels": pc.binary_join(j.column("labels"), ","),
+            }
+        )
+
+    return orders.map_batches(run, batch_format="pyarrow").sort("o_orderkey")
+
+
+# ---------------------------------------------------------------------------
 # A6: array_agg of distinct values per group
 # ref: snv_staging_variant_insert.sql array_remove(array_unique_agg(code))
 # ---------------------------------------------------------------------------

@@ -114,27 +114,61 @@ def make_interval_overlap_join(
         by_group[g] = (
             sub.column(iv_start).to_numpy(zero_copy_only=False),
             sub.column(iv_end).to_numpy(zero_copy_only=False),
-            sub.column(iv_label).to_pylist(),
+            np.asarray(sub.column(iv_label).to_pylist(), dtype=object),
         )
 
     def join(batch: pa.Table) -> pa.Table:
-        gvals = batch.column(group_key).to_pylist()
+        """Vectorized (round-2 review fix — no per-row Python loop): per
+        group present in the batch, ONE ``np.searchsorted`` gives every row
+        its start-sorted candidate prefix; candidates expand arithmetically
+        (the ``_expand_pairs`` shape), are masked on the end bound, and
+        assemble into the list column via offsets — O((n+m) log m +
+        matches) per batch, all numpy/Arrow kernels."""
+        n = batch.num_rows
+        gcol = batch.column(group_key)
+        if isinstance(gcol, pa.ChunkedArray):
+            gcol = gcol.combine_chunks()
         starts = batch.column(left_start).to_numpy(zero_copy_only=False)
         ends = batch.column(left_end).to_numpy(zero_copy_only=False)
-        out = []
-        for i in range(batch.num_rows):
-            info = by_group.get(gvals[i])
-            if info is None:
-                out.append([])
-                continue
-            ivs, ive, labels = info
-            hi = np.searchsorted(ivs, ends[i], side="right")
-            out.append(
-                sorted(labels[j] for j in range(hi) if ive[j] >= starts[i])
+        parents: list[np.ndarray] = []
+        labels_out: list[np.ndarray] = []
+        # a broadcast interval table has FEW groups; rows vectorize per group
+        for g, (ivs, ive, glabels) in by_group.items():
+            rows = np.flatnonzero(
+                np.asarray(
+                    pc.equal(gcol, g).to_numpy(zero_copy_only=False),
+                    dtype=bool,
+                )
             )
+            if not len(rows):
+                continue
+            hi = np.searchsorted(ivs, ends[rows], side="right")
+            tot = int(hi.sum())
+            if not tot:
+                continue
+            off = np.cumsum(hi) - hi
+            j = np.arange(tot) - np.repeat(off, hi)  # candidate idx per row
+            parent = np.repeat(rows, hi)
+            keep = ive[j] >= starts[parent]
+            parents.append(parent[keep])
+            labels_out.append(glabels[j[keep]])
+        if parents:
+            parent_all = np.concatenate(parents)
+            labels_all = np.concatenate(labels_out)
+            order = np.lexsort((labels_all, parent_all))
+            parent_all, labels_all = parent_all[order], labels_all[order]
+            counts = np.bincount(parent_all, minlength=n)
+            values = pa.array(labels_all.tolist(), type=pa.string())
+        else:
+            counts = np.zeros(n, dtype=np.int64)
+            values = pa.array([], type=pa.string())
+        offsets = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum(counts, out=offsets[1:])
+        arr = pa.ListArray.from_arrays(
+            pa.array(offsets, type=pa.int32()), values
+        )
         return batch.append_column(
-            pa.field(out_col, pa.list_(pa.string())),
-            pa.array(out, type=pa.list_(pa.string())),
+            pa.field(out_col, pa.list_(pa.string())), arr
         )
 
     return join
