@@ -79,6 +79,26 @@ def promote(a: pa.DataType, b: pa.DataType) -> pa.DataType:
         return b
     if pa.types.is_large_binary(a) and pa.types.is_binary(b):
         return a
+    # nested types evolve recursively (reference analogue: struct/list
+    # evolution in `radiant/tasks/vcf/snv/consequence.py:40-48` exon struct
+    # and `radiant/tasks/iceberg/utils.py:38-43` merge_schemas)
+    if pa.types.is_list(a) and pa.types.is_list(b):
+        return pa.list_(promote(a.value_type, b.value_type))
+    if pa.types.is_large_list(a) and pa.types.is_large_list(b):
+        return pa.large_list(promote(a.value_type, b.value_type))
+    if pa.types.is_struct(a) and pa.types.is_struct(b):
+        # field order from a; b's new fields append; shared fields widen
+        names: list[str] = []
+        types: dict[str, pa.DataType] = {}
+        for st in (a, b):
+            for i in range(st.num_fields):
+                f = st.field(i)
+                if f.name not in types:
+                    names.append(f.name)
+                    types[f.name] = f.type
+                else:
+                    types[f.name] = promote(types[f.name], f.type)
+        return pa.struct([pa.field(n, types[n]) for n in names])
     raise TypeError(f"cannot promote {a} vs {b}")
 
 
@@ -101,9 +121,57 @@ def unify_schemas(schemas: list[pa.Schema]) -> pa.Schema:
     return pa.schema([pa.field(n, types[n]) for n in names])
 
 
+def align_array(col: pa.Array | pa.ChunkedArray, typ: pa.DataType) -> pa.Array:
+    """Recursively align an array to ``typ``: struct columns gain missing
+    subfields as nulls and widen shared ones (a plain ``cast`` refuses
+    structs with added fields); list value types widen in place; scalars
+    cast. Null slots are preserved at every level."""
+    import pyarrow.compute as pc
+
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    if col.type.equals(typ):
+        return col
+    if pa.types.is_struct(typ) and pa.types.is_struct(col.type):
+        children = []
+        for i in range(typ.num_fields):
+            sub = typ.field(i)
+            if col.type.get_field_index(sub.name) >= 0:
+                children.append(align_array(col.field(sub.name), sub.type))
+            else:
+                children.append(pa.nulls(len(col), type=sub.type))
+        return pa.StructArray.from_arrays(
+            children,
+            fields=[typ.field(i) for i in range(typ.num_fields)],
+            mask=pc.is_null(col),
+        )
+    if (
+        pa.types.is_list(typ) or pa.types.is_large_list(typ)
+    ) and (pa.types.is_list(col.type) or pa.types.is_large_list(col.type)):
+        try:
+            return col.cast(typ)
+        except (
+            pa.ArrowInvalid,
+            pa.ArrowNotImplementedError,
+            pa.ArrowTypeError,
+        ):
+            # e.g. list<struct> with added subfields — rebuild from parts
+            values = align_array(col.values, typ.value_type)
+            cls = (
+                pa.LargeListArray
+                if pa.types.is_large_list(typ)
+                else pa.ListArray
+            )
+            return cls.from_arrays(
+                col.offsets, values, mask=pc.is_null(col)
+            )
+    return col.cast(typ)
+
+
 def align_table(t: pa.Table, schema: pa.Schema) -> pa.Table:
     """Cast/pad a table to ``schema``: missing columns become typed nulls,
-    present columns are cast (widen), extra columns are dropped, order fixed.
+    present columns are cast/aligned (widen; recursive for struct/list),
+    extra columns are dropped, order fixed.
     """
     n = t.num_rows
     cols = []
@@ -111,7 +179,7 @@ def align_table(t: pa.Table, schema: pa.Schema) -> pa.Table:
         if f.name in t.column_names:
             col = t.column(f.name)
             if not col.type.equals(f.type):
-                col = col.cast(f.type)
+                col = align_array(col, f.type)
             cols.append(col)
         else:
             cols.append(pa.nulls(n, type=f.type))

@@ -68,6 +68,12 @@ class ChangelogSpec:
     #: when True, batches evolve schema: B adds status_code:int32,
     #: C widens it to int64, D drops lang (FIXTURES.md §3).
     evolution: bool = False
+    #: when True (with n_batches >= 4), NESTED types evolve too:
+    #: B adds meta:struct<fetch_ms:int32> + embedding:list<float32>,
+    #: C widens meta.fetch_ms to int64 and adds meta.crawler:string,
+    #: D drops embedding (retained as nulls downstream). Values are
+    #: lsn-derived so replay oracles can recompute them exactly.
+    nested_evolution: bool = False
     extra: dict = field(default_factory=dict)
 
 
@@ -183,6 +189,47 @@ def generate_changelog(out_dir: str, spec: ChangelogSpec) -> list[str]:
                 )
             if phase >= 3:
                 t = t.drop_columns(["lang"])
+
+        if spec.nested_evolution and spec.n_batches >= 4:
+            phase = (b * 4) // spec.n_batches
+            ls = lsn[sl]
+            if phase >= 1:
+                fetch_t = pa.int32() if phase == 1 else pa.int64()
+                meta_children = [pa.array(ls % 1000).cast(fetch_t)]
+                meta_fields = [pa.field("fetch_ms", fetch_t)]
+                if phase >= 2:
+                    meta_children.append(
+                        pa.array(
+                            np.char.add("c", (ls % 3).astype(str)).astype(
+                                object
+                            ),
+                            type=pa.string(),
+                        )
+                    )
+                    meta_fields.append(pa.field("crawler", pa.string()))
+                t = t.append_column(
+                    pa.field("meta", pa.struct(meta_fields)),
+                    pa.StructArray.from_arrays(
+                        meta_children, fields=meta_fields
+                    ),
+                )
+            if 1 <= phase <= 2:
+                emb = np.stack(
+                    [(ls % 7).astype(np.float32), (ls % 11).astype(np.float32)],
+                    axis=1,
+                )
+                off = pa.array(
+                    np.arange(0, 2 * (len(ls) + 1), 2, dtype=np.int32)[
+                        : len(ls) + 1
+                    ],
+                    type=pa.int32(),
+                )
+                t = t.append_column(
+                    pa.field("embedding", pa.list_(pa.float32())),
+                    pa.ListArray.from_arrays(
+                        off, pa.array(emb.ravel(), type=pa.float32())
+                    ),
+                )
 
         # duplicate events: re-emit verbatim copies of earlier rows in this
         # batch at the tail (same lsn → exactly-once must collapse them)
