@@ -8,8 +8,14 @@ contract). Subcommands mirror the reference's operational surface
     apply    --lake L --changelog DIR_OR_FILES [--n-parts N] [--exchange sort|actor]
     compact  --lake L [--min-files K] [--purge-tombstones]
     gc       --lake L [--keep-versions K] [--staging-age-s S]
-    qa       --lake L
+    qa       --lake L | --tenant-root D [--tenant T]
     show     --lake L            # manifest summary
+
+Multi-tenant indirection (reference ``get_radiant_mapping`` analogue,
+`radiant/tasks/data/radiant_tables.py:189-201`): every lake-taking
+subcommand also accepts ``--tenant-root D --tenant T`` to resolve the lake
+as ``D/T`` via ``tenancy.TenantCatalog``; ``qa --tenant-root D`` without
+``--tenant`` runs the per-tenant QA loop over every committed tenant.
 """
 
 from __future__ import annotations
@@ -17,6 +23,21 @@ from __future__ import annotations
 import argparse
 import json
 import sys
+
+
+def _resolve_lake(args) -> str:
+    lake = getattr(args, "lake", None)
+    troot = getattr(args, "tenant_root", None)
+    tenant = getattr(args, "tenant", None)
+    if troot and tenant:
+        if lake:
+            raise SystemExit("--lake and --tenant-root/--tenant are exclusive")
+        from radiant_portal_pipeline_ray.tenancy import TenantCatalog
+
+        return TenantCatalog(base_dir=troot).lake_root(tenant)
+    if not lake:
+        raise SystemExit("need --lake, or --tenant-root with --tenant")
+    return lake
 
 
 def _engine(args):
@@ -28,34 +49,43 @@ def _engine(args):
         cfg.n_parts = args.n_parts
     if getattr(args, "exchange", None):
         cfg.exchange = args.exchange
-    return CdcEngine(args.lake, cfg)
+    return CdcEngine(_resolve_lake(args), cfg)
 
 
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="radiant_portal_pipeline_ray")
     sub = p.add_subparsers(dest="cmd", required=True)
 
+    def _tenant_args(sp_, lake_required=False):
+        sp_.add_argument("--lake", required=lake_required, default=None)
+        sp_.add_argument("--tenant-root", default=None)
+        sp_.add_argument("--tenant", default=None)
+
     ap = sub.add_parser("apply", help="apply a changelog batch to the lake")
-    ap.add_argument("--lake", required=True)
+    _tenant_args(ap)
     ap.add_argument("--changelog", required=True, nargs="+")
     ap.add_argument("--n-parts", type=int, default=None)
     ap.add_argument("--exchange", choices=["sort", "actor"], default=None)
 
     cp = sub.add_parser("compact", help="compact partitions / purge tombstones")
-    cp.add_argument("--lake", required=True)
+    _tenant_args(cp)
     cp.add_argument("--min-files", type=int, default=2)
     cp.add_argument("--purge-tombstones", action="store_true")
 
     gp = sub.add_parser("gc", help="prune old manifests + orphaned files")
-    gp.add_argument("--lake", required=True)
+    _tenant_args(gp)
     gp.add_argument("--keep-versions", type=int, default=2)
     gp.add_argument("--staging-age-s", type=float, default=3600.0)
 
-    qp = sub.add_parser("qa", help="run the post-commit QA suite")
-    qp.add_argument("--lake", required=True)
+    qp = sub.add_parser(
+        "qa",
+        help="run the post-commit QA suite (all tenants when --tenant-root "
+        "is given without --tenant)",
+    )
+    _tenant_args(qp)
 
     sp = sub.add_parser("show", help="print the current manifest summary")
-    sp.add_argument("--lake", required=True)
+    _tenant_args(sp)
 
     args = p.parse_args(argv)
 
@@ -79,31 +109,35 @@ def main(argv: list[str] | None = None) -> int:
             from radiant_portal_pipeline_ray.pipelines.maintenance import compact
 
             out = compact(
-                args.lake,
+                _resolve_lake(args),
                 min_files=args.min_files,
                 purge_tombstones=args.purge_tombstones,
             )
         elif args.cmd == "gc":
             from radiant_portal_pipeline_ray.state.manifest import Lake
 
-            removed = Lake(args.lake).gc_orphans(
+            removed = Lake(_resolve_lake(args)).gc_orphans(
                 keep_versions=args.keep_versions,
                 staging_age_s=args.staging_age_s,
             )
             out = {"removed": removed}
         elif args.cmd == "qa":
-            from radiant_portal_pipeline_ray.pipelines.apply import CdcEngine
-            from radiant_portal_pipeline_ray.stages.qa import (
-                run_checks,
-                snapshot_checks,
-            )
+            if args.tenant_root and not args.tenant:
+                from radiant_portal_pipeline_ray.tenancy import TenantCatalog
 
-            eng = _engine(args)
-            out = run_checks(eng.read_snapshot(), snapshot_checks())
+                out = TenantCatalog(base_dir=args.tenant_root).qa_all()
+            else:
+                from radiant_portal_pipeline_ray.stages.qa import (
+                    run_checks,
+                    snapshot_checks,
+                )
+
+                eng = _engine(args)
+                out = run_checks(eng.read_snapshot(), snapshot_checks())
         else:  # show
             from radiant_portal_pipeline_ray.state.manifest import Lake
 
-            man = Lake(args.lake).current_manifest()
+            man = Lake(_resolve_lake(args)).current_manifest()
             if man is None:
                 out = {"version": None}
             else:

@@ -851,10 +851,20 @@ class CdcEngine:
         self,
         columns: list[str] | None = None,
         include_tombstones: bool = False,
+        version: int | None = None,
     ) -> "rd.Dataset":
-        """Current committed state as a streaming Dataset (live rows only by
-        default — retained delete tombstones are engine-internal)."""
-        man = self.lake.current_manifest()
+        """Committed state as a streaming Dataset (live rows only by
+        default — retained delete tombstones are engine-internal).
+
+        ``version`` time-travels to any RETAINED manifest version (the
+        Iceberg-snapshot analogue, reference `radiant/tasks/iceberg`;
+        retention is governed by ``gc(keep_versions=...)``). Raises
+        ``FileNotFoundError`` for a pruned/unknown version."""
+        man = (
+            self.lake.read_manifest(version)
+            if version is not None
+            else self.lake.current_manifest()
+        )
         files = (
             [
                 self.lake.abspath(f)
@@ -877,9 +887,15 @@ class CdcEngine:
         self,
         columns: list[str] | None = None,
         include_tombstones: bool = False,
+        version: int | None = None,
     ) -> pa.Table:
-        """Driver-side pyarrow materialization — tests/small results only."""
-        man = self.lake.current_manifest()
+        """Driver-side pyarrow materialization — tests/small results only.
+        ``version`` time-travels to a retained manifest (see read_snapshot)."""
+        man = (
+            self.lake.read_manifest(version)
+            if version is not None
+            else self.lake.current_manifest()
+        )
         if not man or not any(st.files for st in man.partitions.values()):
             sch = man.schema if man and man.schema else CHANGELOG_SCHEMA
             return pa.Table.from_arrays(
