@@ -32,6 +32,12 @@ try:
 except (NotImplementedError, OSError, ValueError):  # non-jemalloc builds
     pass
 
+# Polars (used for vectorized string hashing in state/id_index.py) sizes its
+# global thread pool to os.cpu_count() at import. Inside Ray workers/actors
+# that each hold a fraction of a CPU, dozens of 32-thread pools oversubscribe
+# the host; bound it BEFORE any polars import unless the user chose a value.
+_os.environ.setdefault("POLARS_MAX_THREADS", "4")
+
 from radiant_portal_pipeline_ray.config import EngineConfig
 
 __all__ = ["EngineConfig"]

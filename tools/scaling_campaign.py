@@ -1,0 +1,176 @@
+"""Variance-robust scaling measurement: N campaigns + a noise gate.
+
+The two-cluster-size scaling criterion is evidenced in this sandbox by
+running the SAME replay input at two parallelism levels in fresh processes
+(`bench.py` legs via GRAFT_SCALING_LO/HI). Single campaigns are
+variance-dominated — identical runs on this co-tenant VM have spanned
+T2 ∈ [128.9, 383.8] s (BASELINE.md) — so one best-of-N pair is weak
+evidence. This tool makes the claim robust:
+
+- runs ``--campaigns N`` (default 5) independent campaigns, each the
+  best-of-``--repeats R`` fresh-process pair at the lo and hi CPU counts,
+  legs interleaved (lo,hi,lo,hi,...) so a storm hits both legs alike;
+- gates every leg on a NOISE PROBE: a fixed single-thread compute kernel
+  (md5 over 64 MiB) timed immediately before the leg. Load average inside
+  the guest cannot see co-tenant storms on the host; a timed kernel can —
+  under a storm the same probe runs 1.5–3x slower. The reference time is
+  the fastest probe observed in this invocation; a leg only starts when
+  the probe is within ``--gate-ratio`` (default 1.25x) of it, retrying
+  after ``--gate-wait`` s up to ``--gate-tries`` times (then the leg runs
+  anyway and is marked ``noisy``);
+- reports the MEDIAN of per-campaign efficiencies plus the full bracket,
+  not a single best number.
+
+Prints one JSON document; paste the summary into BASELINE.md.
+
+Usage (the BASELINE.md campaign convention is 2→8, inside this host's
+memory-bandwidth envelope — see bench.py run_scaling for why 8→32 measures
+the DRAM bus, not the engine):
+
+    GRAFT_SCALING_LO=2 GRAFT_SCALING_HI=8 \
+        python tools/scaling_campaign.py --campaigns 5 --repeats 2
+"""
+
+from __future__ import annotations
+
+import argparse
+import hashlib
+import json
+import os
+import subprocess
+import sys
+import time
+
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+_PROBE_BYTES = 64 * 1024 * 1024
+
+
+def probe_once() -> float:
+    """Seconds to md5 64 MiB single-threaded — a host-noise thermometer."""
+    buf = b"\xa5" * _PROBE_BYTES
+    t0 = time.perf_counter()
+    hashlib.md5(buf).hexdigest()
+    return time.perf_counter() - t0
+
+
+class NoiseGate:
+    def __init__(self, ratio: float, wait_s: float, tries: int):
+        self.ratio, self.wait_s, self.tries = ratio, wait_s, tries
+        # seed the reference with the best of three back-to-back probes
+        self.ref = min(probe_once() for _ in range(3))
+
+    def wait_quiet(self) -> dict:
+        """Block until the host looks quiet (or retries exhaust).
+
+        Returns {probe_s, ref_s, noisy, waited_s}."""
+        waited = 0.0
+        for _ in range(self.tries):
+            p = probe_once()
+            self.ref = min(self.ref, p)
+            if p <= self.ratio * self.ref:
+                return {
+                    "probe_s": round(p, 4),
+                    "ref_s": round(self.ref, 4),
+                    "noisy": False,
+                    "waited_s": round(waited, 1),
+                }
+            time.sleep(self.wait_s)
+            waited += self.wait_s
+        p = probe_once()
+        self.ref = min(self.ref, p)
+        return {
+            "probe_s": round(p, 4),
+            "ref_s": round(self.ref, 4),
+            "noisy": p > self.ratio * self.ref,
+            "waited_s": round(waited, 1),
+        }
+
+
+def run_leg(ncpu: int) -> dict:
+    env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_SKIP_QUERIES="1")
+    out = subprocess.run(
+        [sys.executable, os.path.join(_REPO, "bench.py")],
+        env=env,
+        capture_output=True,
+        text=True,
+        check=True,
+    ).stdout
+    return json.loads(out.strip().splitlines()[-1])
+
+
+def median(xs: list[float]) -> float:
+    s = sorted(xs)
+    n = len(s)
+    return s[n // 2] if n % 2 else (s[n // 2 - 1] + s[n // 2]) / 2
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--campaigns", type=int, default=5)
+    ap.add_argument("--repeats", type=int, default=2)
+    ap.add_argument("--gate-ratio", type=float, default=1.25)
+    ap.add_argument("--gate-wait", type=float, default=30.0)
+    ap.add_argument("--gate-tries", type=int, default=8)
+    ap.add_argument("--out", default=None, help="also write JSON here")
+    args = ap.parse_args()
+
+    lo = int(os.environ.get("GRAFT_SCALING_LO", "2"))
+    hi = int(os.environ.get("GRAFT_SCALING_HI", "8"))
+    gate = NoiseGate(args.gate_ratio, args.gate_wait, args.gate_tries)
+
+    campaigns = []
+    for c in range(args.campaigns):
+        legs = {lo: [], hi: []}
+        gates = []
+        # interleave lo/hi so a storm that survives the gate biases both
+        for _ in range(args.repeats):
+            for ncpu in (lo, hi):
+                g = gate.wait_quiet()
+                t0 = time.time()
+                r = run_leg(ncpu)
+                g.update(ncpu=ncpu, sec=r["value"], wall_s=round(time.time() - t0, 1))
+                legs[ncpu].append(r["value"])
+                gates.append(g)
+                print(json.dumps({"campaign": c, **g}), file=sys.stderr, flush=True)
+        t_lo, t_hi = min(legs[lo]), min(legs[hi])
+        eff = (t_lo / t_hi) / (hi / lo)
+        campaigns.append(
+            {
+                "campaign": c,
+                "sec_lo": t_lo,
+                "sec_hi": t_hi,
+                "all_lo": legs[lo],
+                "all_hi": legs[hi],
+                "efficiency": round(eff, 3),
+                "noisy_legs": sum(1 for g in gates if g["noisy"]),
+                "gates": gates,
+            }
+        )
+        print(
+            json.dumps({k: campaigns[-1][k] for k in
+                        ("campaign", "sec_lo", "sec_hi", "efficiency", "noisy_legs")}),
+            file=sys.stderr,
+            flush=True,
+        )
+
+    effs = [c["efficiency"] for c in campaigns]
+    result = {
+        "metric": "scaling_efficiency_campaigns",
+        "cpus_lo": lo,
+        "cpus_hi": hi,
+        "campaigns": campaigns,
+        "efficiencies": effs,
+        "median_efficiency": round(median(effs), 3),
+        "min_efficiency": min(effs),
+        "max_efficiency": max(effs),
+        "probe_ref_s": round(gate.ref, 4),
+    }
+    print(json.dumps(result))
+    if args.out:
+        with open(args.out, "w") as f:
+            json.dump(result, f, indent=1)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
