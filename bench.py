@@ -103,7 +103,9 @@ def run_bench() -> dict:
             while f.read(1 << 22):
                 pass
 
-    lake = f"/tmp/graft_bench/lake-{_num_cpus()}"
+    # pid-unique scratch lake: concurrent bench processes (e.g. a scaling
+    # campaign leg + a smoke run) must never rmtree each other's lake
+    lake = f"/tmp/graft_bench/lake-{_num_cpus()}-{os.getpid()}"
     shutil.rmtree(lake, ignore_errors=True)
     # n_parts is FIXED across parallelism levels (a real table's layout does
     # not change with cluster size); 64 parts ≈ 2 merge groups per CPU at the
@@ -156,6 +158,7 @@ def run_bench() -> dict:
             "num_cpus": _num_cpus(),
         }
         ray.shutdown()
+        shutil.rmtree(lake, ignore_errors=True)
         return out
 
     bench_queries = {
@@ -192,6 +195,7 @@ def run_bench() -> dict:
         "num_cpus": _num_cpus(),
     }
     ray.shutdown()
+    shutil.rmtree(lake, ignore_errors=True)
     return out
 
 

@@ -90,11 +90,20 @@ class MergeKernel:
         carry = self.local_carry_files.get(part)
         if carry:
             # stable partition: carried-forward rows read LOCALLY from the
-            # committed per-partition lake files — they never shuffled
-            old = pa.concat_tables(
-                [pq.read_table(f) for f in carry],
-                promote_options="permissive",
-            )
+            # committed per-partition lake files — they never shuffled.
+            # Threaded per-file reads: a partition that missed compaction can
+            # carry many small files, and serial I/O inside this one merge
+            # task would become the round's straggler. Per-file (not
+            # multi-file-dataset) reads keep permissive schema promotion for
+            # files written before a schema evolution.
+            if len(carry) > 1:
+                from concurrent.futures import ThreadPoolExecutor
+
+                with ThreadPoolExecutor(min(4, len(carry))) as ex:
+                    tables = list(ex.map(pq.read_table, carry))
+            else:
+                tables = [pq.read_table(carry[0])]
+            old = pa.concat_tables(tables, promote_options="permissive")
             old = align_table(old, self.union_schema or group.schema)
             n_old = old.num_rows
             old = old.set_column(

@@ -86,16 +86,29 @@ class NoiseGate:
         }
 
 
-def run_leg(ncpu: int) -> dict:
+def run_leg(ncpu: int, tries: int = 3) -> dict:
+    """One fresh-process bench run; a transient leg failure (OOM kill,
+    Ray startup race) must not abort a multi-hour campaign — retry, and
+    surface the child's stderr tail when it does fail."""
     env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_SKIP_QUERIES="1")
-    out = subprocess.run(
-        [sys.executable, os.path.join(_REPO, "bench.py")],
-        env=env,
-        capture_output=True,
-        text=True,
-        check=True,
-    ).stdout
-    return json.loads(out.strip().splitlines()[-1])
+    last = None
+    for attempt in range(tries):
+        proc = subprocess.run(
+            [sys.executable, os.path.join(_REPO, "bench.py")],
+            env=env,
+            capture_output=True,
+            text=True,
+        )
+        if proc.returncode == 0:
+            return json.loads(proc.stdout.strip().splitlines()[-1])
+        last = proc.stderr.strip().splitlines()[-8:]
+        print(
+            json.dumps({"leg_error": last, "ncpu": ncpu, "attempt": attempt}),
+            file=sys.stderr,
+            flush=True,
+        )
+        time.sleep(10)
+    raise RuntimeError(f"bench leg ncpu={ncpu} failed {tries}x: {last}")
 
 
 def median(xs: list[float]) -> float:
