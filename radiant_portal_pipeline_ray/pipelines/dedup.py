@@ -955,6 +955,14 @@ def dd_dedup_corpus(sf_dir: str, max_bucket: int = 4096):
     iterated min-label propagation with zero driver state.
     """
     pairs = dd_ngram_jaccard(sf_dir, max_bucket=max_bucket).materialize()
+    return fold_components(pairs)
+
+
+def fold_components(pairs: "rd.Dataset") -> "rd.Dataset":
+    """Pair graph → ``(doc_id, rep_doc_id)`` component mapping; driver
+    union-find under ``_CC_DRIVER_EDGE_THRESHOLD`` edges, distributed
+    min-label propagation above (both produce identical output). ``pairs``
+    must be materialized with ``doc_a``/``doc_b`` int64 columns."""
     if pairs.count() > _CC_DRIVER_EDGE_THRESHOLD:
         return connected_components_distributed(
             pairs.map_batches(

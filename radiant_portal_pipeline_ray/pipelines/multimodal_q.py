@@ -116,3 +116,59 @@ def mm_image_features(sf_dir: str):
         batch_size=256,
     )
     return feats.select_columns(["media_id", "features"]).sort("media_id")
+
+
+# ---------------------------------------------------------------------------
+# resize: aspect-preserving fit into a 224x224 box. Source dims are derived
+# deterministically from payload length (no media files in testdata); the
+# integer floor arithmetic and the md5 resize witness are SQL-reproducible,
+# so the oracle value-checks the whole stage, not just row counts.
+# ---------------------------------------------------------------------------
+@_register(
+    "mm_resize",
+    """
+    WITH m AS (
+      SELECT doc_id AS media_id, text,
+             64 + octet_length(encode(text)) % 960 AS w,
+             64 + (octet_length(encode(text)) * 7) % 960 AS h
+      FROM documents
+    ), r AS (
+      SELECT media_id, text, w, h,
+             GREATEST(1, (w * 224) // GREATEST(GREATEST(w, h), 1)) AS out_w,
+             GREATEST(1, (h * 224) // GREATEST(GREATEST(w, h), 1)) AS out_h
+      FROM m
+    )
+    SELECT media_id,
+           CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+           CAST(out_w AS BIGINT) AS out_w, CAST(out_h AS BIGINT) AS out_h,
+           md5(md5(text) || '-' || out_w || 'x' || out_h) AS resized_sig
+    FROM r ORDER BY media_id
+    """,
+)
+def mm_resize(sf_dir: str):
+    from radiant_portal_pipeline_ray.stages.multimodal import ImageResizeStage
+
+    media = _media_from_documents(sf_dir)
+
+    def with_dims(b: pa.Table) -> pa.Table:
+        import numpy as np
+
+        n = (
+            pc.binary_length(b.column("payload"))
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        b = b.append_column(
+            "width", pa.array((n % 960 + 64).astype(np.int32))
+        )
+        return b.append_column(
+            "height", pa.array((n * 7 % 960 + 64).astype(np.int32))
+        )
+
+    resized = media.map_batches(with_dims, batch_format="pyarrow").map_batches(
+        ImageResizeStage(target_w=224, target_h=224),
+        batch_format="pyarrow",
+        concurrency=2,
+        batch_size=256,  # wide binary rows: bounded batch x concurrency
+    )
+    return resized.sort("media_id")

@@ -127,9 +127,7 @@ def sim_topk_cosine(sf_dir: str):
 _NEARDUP_MAX_ROWS = 200_000
 
 
-@_register(
-    "sim_neardup_pairs_q",
-    """
+_NEARDUP_SQL = """
     WITH q AS (
       SELECT vec_id,
              list_transform(embedding, x -> CAST(ROUND(x*1000) AS BIGINT)) AS e
@@ -146,8 +144,10 @@ _NEARDUP_MAX_ROWS = 200_000
     WHERE dot_q > 0
       AND 400 * CAST(dot_q AS HUGEINT) * dot_q >= 49 * a.nn * b.nn
     ORDER BY vec_a, vec_b
-    """,
-)
+    """
+
+
+@_register("sim_neardup_pairs_q", _NEARDUP_SQL)
 def sim_neardup_pairs_q(sf_dir: str):
     """Pairs with quantized cosine ≥ 0.35 (= 7/20, exact rational check).
 
@@ -336,3 +336,55 @@ def sim_ann_ivf(
 
     ds = _emb_ds(sf_dir).map_batches(assign_cells, batch_format="pyarrow")
     return _bucketed_ann_pairs(ds, "cell", 0.2, max_cell, "sim_ann_ivf")
+
+
+# ---------------------------------------------------------------------------
+_EMBED_CORPUS_SQL = (
+    """
+    WITH RECURSIVE base_pairs AS ("""
+    + _NEARDUP_SQL.replace("ORDER BY vec_a, vec_b", "")
+    + """
+    ), edges AS (
+      SELECT vec_a AS a, vec_b AS b FROM base_pairs
+      UNION ALL
+      SELECT vec_b, vec_a FROM base_pairs
+    ), reach(node, lbl) AS (
+      SELECT DISTINCT a, a FROM edges
+      UNION
+      SELECT e.b, r.lbl FROM reach r JOIN edges e ON e.a = r.node
+    )
+    SELECT node AS vec_id, MIN(lbl) AS rep_vec_id
+    FROM reach GROUP BY node ORDER BY vec_id
+    """
+)
+
+
+@_register("dd_embed_corpus", _EMBED_CORPUS_SQL)
+def dd_embed_corpus(sf_dir: str):
+    """Embedding-cosine near-dup CORPUS dedup: cosine-threshold pairs →
+    connected components → ``(vec_id, rep_vec_id)`` per clustered vector
+    (rep = component-min id); "keep id ∉ mapping OR id = rep" dedups the
+    corpus, the same contract as ``dd_dedup_corpus`` over text shingles.
+
+    Pairs come from the quantized exact generator (test-scale anchor,
+    gated all-pairs); at corpus scale swap the pair source for
+    ``sim_ann_ivf`` / ``sim_ann_lsh`` — the component fold is shared with
+    the text path and switches to distributed min-label propagation above
+    the driver edge threshold (``dedup.fold_components``)."""
+    from radiant_portal_pipeline_ray.pipelines.dedup import fold_components
+
+    pairs = (
+        sim_neardup_pairs_q(sf_dir)
+        .map_batches(
+            lambda b: pa.table(
+                {"doc_a": b.column("vec_a"), "doc_b": b.column("vec_b")}
+            ),
+            batch_format="pyarrow",
+        )
+        .materialize()
+    )
+    labels = fold_components(pairs)
+    return labels.map_batches(
+        lambda b: b.rename_columns(["vec_id", "rep_vec_id"]),
+        batch_format="pyarrow",
+    ).sort("vec_id")

@@ -122,3 +122,53 @@ def synth_media_table(n: int, seed: int = 3) -> pa.Table:
             "height": pa.array(rng.integers(16, 256, n).astype(np.int32)),
         }
     )
+
+
+class ImageResizeStage:
+    """Actor-pool stage: aspect-preserving resize of a binary image payload
+    into a target box (decode/resample kernel stubbed; the dimension
+    arithmetic, schema contract and payload-drop discipline are real).
+
+    Output dims fit the LONGEST side to the box in exact integer floor
+    arithmetic — ``out = max(1, side*target // max(w, h))`` — and the
+    stubbed "resized payload" is witnessed by a deterministic signature
+    ``md5(md5(payload) + '-' + out_wxout_h)``, so a SQL oracle can check
+    every value. ``strict=True`` raises at the stub boundary."""
+
+    def __init__(self, target_w: int = 224, target_h: int = 224, strict: bool = False):
+        self.tw, self.th, self.strict = target_w, target_h, strict
+        # real implementations initialize their codec/resampler HERE
+
+    def _resize_stub(self, payload: bytes, out_w: int, out_h: int) -> str:
+        if self.strict:
+            raise DecodeError(
+                "image resize requires a codec not present in this "
+                "environment; override ImageResizeStage._resize_stub"
+            )
+        inner = hashlib.md5(payload).hexdigest()
+        return hashlib.md5(f"{inner}-{out_w}x{out_h}".encode()).hexdigest()
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        w = batch.column("width").to_numpy(zero_copy_only=False).astype(np.int64)
+        h = batch.column("height").to_numpy(zero_copy_only=False).astype(np.int64)
+        long_side = np.maximum(np.maximum(w, h), 1)
+        # NOTE target box is square here (tw == th fits either orientation);
+        # exact integer floor keeps the SQL oracle bit-identical
+        out_w = np.maximum(1, (w * self.tw) // long_side)
+        out_h = np.maximum(1, (h * self.th) // long_side)
+        sigs = [
+            None if p is None else self._resize_stub(p, int(ow), int(oh))
+            for p, ow, oh in zip(
+                batch.column("payload").to_pylist(), out_w, out_h
+            )
+        ]
+        return pa.table(
+            {
+                "media_id": batch.column("media_id"),
+                "width": pa.array(w, type=pa.int64()),
+                "height": pa.array(h, type=pa.int64()),
+                "out_w": pa.array(out_w, type=pa.int64()),
+                "out_h": pa.array(out_h, type=pa.int64()),
+                "resized_sig": pa.array(sigs, type=pa.string()),
+            }
+        )  # payload dropped: project-before-shuffle

@@ -41,8 +41,19 @@ def _sum_dicts(dicts):
     return out
 
 
-def run_checks(ds: Dataset, checks: list[QACheck]) -> dict:
-    """One streaming pass computes every check's partial counters."""
+def run_checks(
+    ds: Dataset,
+    checks: list[QACheck],
+    known_failures: dict[str, str] | None = None,
+) -> dict:
+    """One streaming pass computes every check's partial counters.
+
+    ``known_failures`` maps check name → tracking-ticket tag (reference:
+    dbt-test runs tolerate Jira-tagged known failures,
+    `radiant/dags/data_integrity_starrocks.py:141-185`): a failing check
+    listed there is reported with its tag under ``tolerated`` and does NOT
+    flip ``passed``; a PASSING check listed there is surfaced under
+    ``stale_known_failures`` so resolved tickets get cleaned up."""
 
     def partials(batch: pa.Table) -> pa.Table:
         rows = []
@@ -63,11 +74,22 @@ def run_checks(ds: Dataset, checks: list[QACheck]) -> dict:
     for r in agg.take_all():
         counters.setdefault(r["check"], {})[r["key"]] = r["sum(val)"]
 
-    report = {"passed": True, "checks": {}}
+    known = known_failures or {}
+    report: dict = {
+        "passed": True,
+        "checks": {},
+        "tolerated": {},
+        "stale_known_failures": {},
+    }
     for c in checks:
         ok, detail = c.verdict(counters.get(c.name, {}))
         report["checks"][c.name] = {"ok": ok, "detail": detail}
-        report["passed"] = report["passed"] and ok
+        if not ok and c.name in known:
+            report["tolerated"][c.name] = known[c.name]
+        elif ok and c.name in known:
+            report["stale_known_failures"][c.name] = known[c.name]
+        else:
+            report["passed"] = report["passed"] and ok
     return report
 
 

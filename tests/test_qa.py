@@ -82,3 +82,28 @@ def test_qa_post_commit_on_lake(ray_session, tmp_path):
     rep = run_checks(snap, snapshot_checks())
     assert rep["passed"], rep
     assert unique_key_global(snap, "url")["ok"]
+
+
+def test_qa_known_failure_tolerance(ray_session):
+    """Ticket-tagged known failures are tolerated without flipping `passed`;
+    stale tags on now-passing checks are surfaced (reference: dbt runs with
+    Jira-tagged tolerance, data_integrity_starrocks.py:141-185)."""
+    import ray.data as rd
+
+    t = pa.table({"url": ["a", None], "flag": ["X", "Y"]})
+    ds = rd.from_arrow(t)
+    checks = [not_empty(), no_nulls("url"), accepted_values("flag", ["X", "Y"])]
+
+    rep = run_checks(ds, checks)
+    assert not rep["passed"]  # url nulls
+
+    rep = run_checks(ds, checks, known_failures={"no_nulls:url": "TICKET-42"})
+    assert rep["passed"]
+    assert rep["tolerated"] == {"no_nulls:url": "TICKET-42"}
+    assert not rep["checks"]["no_nulls:url"]["ok"]  # still reported honestly
+    assert rep["stale_known_failures"] == {}
+
+    rep = run_checks(ds, checks, known_failures={
+        "no_nulls:url": "TICKET-42", "not_empty": "TICKET-7"})
+    assert rep["passed"]
+    assert rep["stale_known_failures"] == {"not_empty": "TICKET-7"}

@@ -156,6 +156,27 @@ def test_multimodal_stub_plumbing(ray_session):
     with pytest.raises((DecodeError, Exception)):
         ImageFeatureStage(strict=True)(t.slice(0, 2))
 
+    # resize: aspect-preserving integer fit; payload dropped; strict raises
+    from radiant_portal_pipeline_ray.stages.multimodal import ImageResizeStage
+
+    t2 = t.set_column(
+        t.schema.get_field_index("width"),
+        pa.field("width", pa.int32()),
+        pa.array([640] * 32, type=pa.int32()),
+    )
+    t2 = t2.set_column(
+        t2.schema.get_field_index("height"),
+        pa.field("height", pa.int32()),
+        pa.array([480] * 32, type=pa.int32()),
+    )
+    out = ImageResizeStage(target_w=224, target_h=224)(t2)
+    assert out.column("out_w").to_pylist() == [224] * 32
+    assert out.column("out_h").to_pylist() == [480 * 224 // 640] * 32
+    assert "payload" not in out.column_names
+    assert len(set(out.column("resized_sig").to_pylist())) == 32
+    with pytest.raises((DecodeError, Exception)):
+        ImageResizeStage(strict=True)(t2.slice(0, 2))
+
 
 def test_lsh_ann_recall_vs_bruteforce(ray_session):
     """Multi-table LSH must recover ≥0.9 of the true top-10 neighbors (those

@@ -90,7 +90,13 @@ def run_leg(ncpu: int, tries: int = 3) -> dict:
     """One fresh-process bench run; a transient leg failure (OOM kill,
     Ray startup race) must not abort a multi-hour campaign — retry, and
     surface the child's stderr tail when it does fail."""
-    env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_SKIP_QUERIES="1")
+    env = dict(
+        os.environ,
+        RAY_GRAFT_CPUS=str(ncpu),
+        GRAFT_SKIP_QUERIES="1",
+        # scaling legs repeat at the CAMPAIGN level; one replay per leg
+        GRAFT_BENCH_REPEATS="1",
+    )
     last = None
     for attempt in range(tries):
         proc = subprocess.run(
