@@ -43,13 +43,26 @@ import time
 
 _REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 _PROBE_BYTES = 64 * 1024 * 1024
+_PROBE_BUFS = None
 
 
 def probe_once() -> float:
-    """Seconds to md5 64 MiB single-threaded — a host-noise thermometer."""
-    buf = b"\xa5" * _PROBE_BYTES
+    """Seconds for a compute leg (md5 over 64 MiB) PLUS a memory-bandwidth
+    leg (streaming reduce over 512 MiB) — md5 alone is compute-bound at a
+    few hundred MB/s and misses co-tenant BANDWIDTH storms, which are what
+    actually inflate the replay (it streams KB-scale html per event)."""
+    global _PROBE_BUFS
+    import numpy as np
+
+    if _PROBE_BUFS is None:
+        _PROBE_BUFS = (
+            b"\xa5" * _PROBE_BYTES,
+            np.full(64 * 1024 * 1024, 3, dtype=np.int64),  # 512 MiB stream
+        )
+    buf, arr = _PROBE_BUFS
     t0 = time.perf_counter()
     hashlib.md5(buf).hexdigest()
+    float(arr.sum())
     return time.perf_counter() - t0
 
 
