@@ -13,6 +13,7 @@ re-expressed as an Arrow-batch kernel instead of a per-row Python function.
 
 from __future__ import annotations
 
+import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
@@ -49,15 +50,35 @@ def extract_text(html: pa.ChunkedArray | pa.Array) -> pa.Array | pa.ChunkedArray
     if pa.types.is_binary(s.type) or pa.types.is_large_binary(s.type):
         s = pc.cast(s, pa.string())
     s = pc.replace_substring_regex(s, pattern=_STRUCT_RE, replacement=" ")
-    for ent, rep in _ENTITIES:
-        s = pc.replace_substring(s, pattern=ent, replacement=rep)
+    # Entity decode only touches rows that still contain "&" after tag
+    # stripping (href/attr ampersands are already gone) — typically a small
+    # minority, so gather → 6 replaces on the subset → scatter beats six
+    # full-column scans. Equivalent output either way.
+    chunked_in = isinstance(s, pa.ChunkedArray)
+    if chunked_in:
+        s = s.combine_chunks()
+    mask = pc.fill_null(pc.match_substring(s, "&"), False)
+    n_amp = pc.sum(mask).as_py() or 0
+    if n_amp == len(s):
+        for ent, rep in _ENTITIES:
+            s = pc.replace_substring(s, pattern=ent, replacement=rep)
+    elif n_amp:
+        idx = np.flatnonzero(mask.to_numpy(zero_copy_only=False))
+        sub = pc.take(s, pa.array(idx))
+        for ent, rep in _ENTITIES:
+            sub = pc.replace_substring(sub, pattern=ent, replacement=rep)
+        s = pc.replace_with_mask(s, mask, sub)
     # Whitespace collapse + trim via split/join: byte-equivalent to the
     # obvious `\s+ → " "` regex on ASCII text but ~4x faster (the regex
     # kernel pays per-match overhead on every whitespace run; split/join is
     # one linear scan). utf8_trim afterwards also drops any UNICODE
     # whitespace left at the edges, matching the previous kernel.
     s = pc.binary_join(pc.ascii_split_whitespace(s), " ")
-    return pc.utf8_trim_whitespace(s)
+    s = pc.utf8_trim_whitespace(s)
+    # keep the input's container type (callers may .combine_chunks())
+    if chunked_in and isinstance(s, pa.Array):
+        s = pa.chunked_array([s])
+    return s
 
 
 def extract_text_str(html: bytes | str) -> str:
