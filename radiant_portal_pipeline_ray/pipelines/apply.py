@@ -546,12 +546,26 @@ class CdcEngine:
             extra = {i: [] for i in range(n_shards)}
             for p in silent:
                 extra[p % n_shards].append(p)
-            metas = ray.get(
-                [
-                    s.finalize.remote(kernel, extra[i])
-                    for i, s in enumerate(shards)
-                ]
-            )
+            # Finalize = the CPU-heavy merge+write. Shard actors are
+            # num_cpus=0 (they must coexist with the map stage while
+            # buffering), so Ray's scheduler would happily run EVERY
+            # shard's finalize at once regardless of the cluster's CPU
+            # budget — on a small cluster that oversubscribes cores (and
+            # makes a num_cpus=N session lie about N). Throttle in-flight
+            # finalizes to the CPU budget instead.
+            window = max(1, int(ray.cluster_resources().get("CPU", n_shards)))
+            pending_refs = [
+                s.finalize.remote(kernel, extra[i])
+                for i, s in enumerate(shards[:window])
+            ]
+            queued = list(enumerate(shards))[window:]
+            metas = []
+            while pending_refs:
+                done, pending_refs = ray.wait(pending_refs, num_returns=1)
+                metas.append(ray.get(done[0]))
+                if queued:
+                    i, s = queued.pop(0)
+                    pending_refs.append(s.finalize.remote(kernel, extra[i]))
             meta_rows = [m for sub in metas for m in sub]
             _lap("merge")
         finally:
