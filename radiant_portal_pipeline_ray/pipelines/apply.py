@@ -6,9 +6,13 @@ One ``CdcEngine.apply(changelog)`` call is one incremental ingest round
 loop `radiant/dags/import_radiant.py:48-210`):
 
   1. read the committed manifest (watermarks, salt map, schema, counters)
-  2. cheap column-pruned scout pass over the delta (url+lsn only) →
-     changed-partition set (salting decisions come from the merge's
-     heavy-hitter counts, applied NEXT round)
+  2. changed partitions are discovered BY the merge itself (a group only
+     forms where rows exist; the carried-file map is offered for every
+     committed partition as metadata) — no separate scout/unique pass over
+     the delta; ``cfg.sparse_scout`` instead probes a column-pruned
+     (url+lsn) read when the tail is mostly pre-watermark (salting
+     decisions come from the merge's heavy-hitter counts, applied NEXT
+     round)
   3. schema discovery over changelog footers → widen-only unification with
      the snapshot schema (add / widen / drop evolution)
   4. ``read_parquet`` the delta (row-filter ``lsn > min committed
@@ -157,10 +161,15 @@ class CdcEngine:
             salt_headroom=cfg.salt_headroom,
         )
 
-        # ---- schema discovery & unification (driver-side footer reads) ----
+        # ---- schema discovery & unification (driver-side footer reads,
+        # threaded: a binlog tail is many small files and serial footer
+        # round-trips add a fixed per-round cost) -----------------------
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=16) as ex:
+            schemas = list(ex.map(pq.read_schema, paths))
         file_schemas: dict[bytes, tuple[pa.Schema, list[str]]] = {}
-        for p in paths:
-            sch = pq.read_schema(p)
+        for p, sch in zip(paths, schemas):
             sch = pa.schema([pa.field(f.name, f.type) for f in sch])  # drop metadata
             key = sch.serialize().to_pybytes()
             file_schemas.setdefault(key, (sch, []))[1].append(p)
@@ -241,24 +250,26 @@ class CdcEngine:
                 watermarks,
                 partitioner.max_part_id(),
             )
-            parts_in_delta: set[int] = set()
+            parts_in_delta: set[int] | None = set()
             for _, (sch, group_paths) in sorted(file_schemas.items()):
                 sc = rd.read_parquet(
                     group_paths, columns=["url", "lsn"], filter=filt
                 ).map_batches(scout, batch_format="pyarrow")
                 uniq = sc.unique("part")  # None when all pre-watermark
                 parts_in_delta.update(int(p) for p in (uniq or []))
+            delta_has_rows = bool(parts_in_delta)
         else:
             delta = delta.materialize()
             if self.debug_stats:
                 self.last_stats["normalize"] = delta.stats()
-            uniq = delta.unique("part") if delta.count() else None
-            parts_in_delta = {int(p) for p in (uniq or [])}
-        changed_parts = set(parts_in_delta)
-        for d, old_parts in pending.items():
-            changed_parts.update(old_parts)
-            changed_parts.update(partitioner.salt_map.get(d, []))
-        if not changed_parts:
+            # No separate unique() pass over the delta: a merge group only
+            # forms for a partition that actually has rows, so the carried
+            # side below can be offered for EVERY committed partition
+            # (metadata-only map) and unchanged partitions simply never
+            # merge. Saves one all-to-all per round.
+            parts_in_delta = None  # unknown without an extra pass
+            delta_has_rows = bool(delta.count())  # metadata on materialized
+        if not delta_has_rows and not pending:
             return _noop_report(0)
         _lap("scout")
 
@@ -276,7 +287,15 @@ class CdcEngine:
         old_files = []
         local_carry: dict[int, list[str]] = {}
         if current:
-            for p in sorted(changed_parts):
+            # candidate carried partitions: the scouted delta set when known
+            # (sparse_scout), else every committed partition — local_carry is
+            # a metadata-only map and the merge only reads a partition's
+            # carried files if that partition actually formed a group.
+            if parts_in_delta is None:
+                candidates = set(current.partitions) | migration_parts
+            else:
+                candidates = set(parts_in_delta) | migration_parts
+            for p in sorted(candidates):
                 st = current.partitions.get(p)
                 if not st:
                     continue
@@ -298,7 +317,7 @@ class CdcEngine:
                 # same rationale as the delta: the merge sort re-samples lazy
                 # inputs, re-running the snapshot read+cast
                 old_ds = old_ds.materialize()
-            combined = old_ds if not parts_in_delta else delta.union(old_ds)
+            combined = old_ds if not delta_has_rows else delta.union(old_ds)
 
         # ---- per-partition LWW merge + staged write -----------------------
         txn_id = self.lake.new_txn_id()
