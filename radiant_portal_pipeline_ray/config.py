@@ -55,18 +55,22 @@ class EngineConfig:
 
     # --- exchange -------------------------------------------------------
     #: how event rows reach their partition's merge task:
-    #: - "actor": streaming shard-actor exchange (stages/exchange.py) —
-    #:   normalize overlaps the exchange, no sort/materialize barrier;
-    #:   at-least-once pushes (safe: LWW merge is idempotent to duplicate
-    #:   delivery), whole-round restart on shard-actor loss.
+    #: - "task": fused read+normalize+split tasks → per-bucket merge tasks
+    #:   (stages/taskshuffle.py) — the delta hits the object store exactly
+    #:   once, no sort, no boundary sampling; per-task lineage retries.
     #: - "sort": Ray Data ``groupby(part).map_groups`` sort shuffle —
-    #:   per-task retries, but normalize must fully materialize before the
-    #:   sort samples boundaries (an idle barrier per round).
-    #: Default "sort": measured faster on the single-node bench (the actor
-    #: path's per-push serialization outweighs the removed barrier when all
-    #: shards share one memory bus); "actor" is the streaming alternative
-    #: for deployments where the exchange crosses a network.
-    exchange: str = "sort"
+    #:   per-task retries, but the delta transits plasma ~3× (materialize →
+    #:   sort slices → reduce concat) and normalize must fully materialize
+    #:   before the sort samples boundaries (an idle barrier per round).
+    #: - "actor": streaming shard-actor exchange (stages/exchange.py) —
+    #:   normalize overlaps the exchange, no barrier; at-least-once pushes
+    #:   (safe: LWW merge is idempotent to duplicate delivery), whole-round
+    #:   restart on shard-actor loss. For deployments where the exchange
+    #:   crosses a network and push-streaming beats plasma staging.
+    #: Default "task": minimal memory traffic — measured ~2× faster per
+    #: round than "sort" at 32 CPUs AND it stops the sort's page-fault storm
+    #: from poisoning the next round's reads (BASELINE.md round-3 notes).
+    exchange: str = "task"
 
     # --- ray data knobs -------------------------------------------------
     #: batch size for normalize map_batches; html payloads are ~KB so this

@@ -167,9 +167,10 @@ class CdcEngine:
         from concurrent.futures import ThreadPoolExecutor
 
         with ThreadPoolExecutor(max_workers=16) as ex:
-            schemas = list(ex.map(pq.read_schema, paths))
+            file_metas = dict(zip(paths, ex.map(pq.read_metadata, paths)))
         file_schemas: dict[bytes, tuple[pa.Schema, list[str]]] = {}
-        for p, sch in zip(paths, schemas):
+        for p in paths:
+            sch = file_metas[p].schema.to_arrow_schema()
             sch = pa.schema([pa.field(f.name, f.type) for f in sch])  # drop metadata
             key = sch.serialize().to_pybytes()
             file_schemas.setdefault(key, (sch, []))[1].append(p)
@@ -204,6 +205,22 @@ class CdcEngine:
         # round yields ~2 read tasks and normalize can't use the cluster
         # (splits land on parquet row-group boundaries)
         read_blocks = self._read_parallelism()
+        if cfg.exchange == "task":
+            return self._apply_task_exchange(
+                t0,
+                timings,
+                _lap,
+                current,
+                partitioner,
+                paths,
+                file_metas,
+                event_schema,
+                union_schema,
+                snapshot_schema,
+                watermarks,
+                min_wm,
+                _noop_report,
+            )
         if cfg.exchange == "actor":
             report = self._apply_actor_exchange(
                 t0,
@@ -429,6 +446,163 @@ class CdcEngine:
             rep["priority"] = jobs[nxt].get("priority", 1_000_000)
             out.append(rep)
         return out
+
+    # ------------------------------------------------------------------
+    def _apply_task_exchange(
+        self,
+        t0,
+        timings,
+        _lap,
+        current,
+        partitioner,
+        paths,
+        file_metas,
+        event_schema,
+        union_schema,
+        snapshot_schema,
+        watermarks,
+        min_wm,
+        noop_report,
+    ) -> dict:
+        """Single-materialization apply round: fused read+normalize+split
+        tasks emit one plasma object per (task, bucket); per-bucket merge
+        tasks consume their ref column zero-copy. No sort, no boundary
+        sampling, no second pass over the delta — see stages/taskshuffle.py
+        for the copy-count and retry/lineage contract."""
+        import gc
+
+        import ray
+
+        from radiant_portal_pipeline_ray.stages.taskshuffle import (
+            chunk_units,
+            enumerate_units,
+            merge_bucket_task,
+            split_task,
+        )
+
+        cfg = self.cfg
+        normalizer = make_event_normalizer(
+            event_schema,
+            union_schema,
+            cfg.n_parts,
+            partitioner.salt_map,
+            watermarks,
+            partitioner.max_part_id(),
+        )
+        cpus = (
+            int(ray.cluster_resources().get("CPU", 8))
+            if ray.is_initialized()
+            else 8
+        )
+        # enough buckets that one bucket-merge never gates the round, few
+        # enough that the (tasks × buckets) object count stays bounded
+        n_buckets = max(8, min(2 * cpus, partitioner.max_part_id() + 1))
+
+        pending = dict(current.pending_migrations) if current else {}
+        migration_parts: set[int] = set()
+        for d, old_parts in pending.items():
+            migration_parts.update(old_parts)
+            migration_parts.update(partitioner.salt_map.get(d, []))
+        mig_files: list[str] = []
+        if current:
+            for p in sorted(migration_parts):
+                st = current.partitions.get(p)
+                if st:
+                    mig_files.extend(self.lake.abspath(f) for f in st.files)
+
+        # fused read+normalize+split fan-out (row-group-granular chunks);
+        # migrating partitions' carried rows go through the same exchange
+        # under the snapshot caster (their routing is changing)
+        units = enumerate_units(paths, file_metas)
+        chunks = chunk_units(units, 2 * cpus)
+        task = split_task.options(num_returns=1 + n_buckets)
+        min_lsn = min_wm if current else None
+        returns = [
+            task.remote(ch, normalizer, n_buckets, min_lsn) for ch in chunks
+        ]
+        if mig_files:
+            caster = make_snapshot_caster(
+                union_schema, cfg.n_parts, partitioner.salt_map
+            )
+            for ch in chunk_units(enumerate_units(mig_files), 2 * cpus):
+                returns.append(task.remote(ch, caster, n_buckets, None))
+        stats_refs = [r[0] for r in returns]
+        bucket_refs = [list(r[1:]) for r in returns]
+        _lap("plan")
+
+        events_pushed = 0
+        parts_seen: set[int] = set()
+        for s in ray.get(stats_refs):
+            events_pushed += int(s["events"])
+            parts_seen.update(int(p) for p in s["parts"])
+        changed_parts = set(parts_seen)
+        for d, old_parts in pending.items():
+            changed_parts.update(old_parts)
+            changed_parts.update(partitioner.salt_map.get(d, []))
+        if not changed_parts:
+            return noop_report(0)
+
+        # stable changed partitions merge their committed files locally
+        local_carry: dict[int, list[str]] = {}
+        if current:
+            for p in sorted(changed_parts - migration_parts):
+                st = current.partitions.get(p)
+                if st and st.files:
+                    local_carry[p] = [self.lake.abspath(f) for f in st.files]
+        _lap("scout")
+
+        from radiant_portal_pipeline_ray.stages.merge import MergeKernel
+
+        txn_id = self.lake.new_txn_id()
+        staging = self.lake.staging_dir(txn_id)
+        kernel = MergeKernel(
+            txn_id=txn_id,
+            staging_dir=staging,
+            snapshot_schema=snapshot_schema,
+            next_doc_seq={
+                p: st.next_doc_seq
+                for p, st in (current.partitions.items() if current else [])
+            },
+            doc_id_part_shift=cfg.doc_id_part_shift,
+            target_rows_per_file=cfg.target_rows_per_file,
+            compression=cfg.compression,
+            local_carry_files=local_carry,
+            union_schema=union_schema,
+        )
+        # changed parts that shuffled no rows (local-carry-only partitions of
+        # a migrating domain) still need a merge pass from an empty delta
+        silent = changed_parts - parts_seen
+        extra: dict[int, list[int]] = {}
+        for p in silent:
+            extra.setdefault(p % n_buckets, []).append(p)
+        active = sorted(
+            {p % n_buckets for p in changed_parts}
+        )
+        merge_refs = [
+            merge_bucket_task.remote(
+                kernel,
+                [row[b] for row in bucket_refs],
+                sorted(extra.get(b, [])),
+            )
+            for b in active
+        ]
+        meta_rows = [m for sub in ray.get(merge_refs) for m in sub]
+        _lap("merge")
+        del bucket_refs, returns, merge_refs
+        gc.collect()
+        return self._post_merge(
+            t0,
+            timings,
+            _lap,
+            current,
+            partitioner,
+            meta_rows,
+            pending,
+            txn_id,
+            snapshot_schema,
+            watermarks,
+            noop_report,
+        )
 
     # ------------------------------------------------------------------
     def _apply_actor_exchange(
