@@ -39,7 +39,6 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import ray
 import ray.data as rd
-from ray.data.aggregate import Min, Sum
 
 from radiant_portal_pipeline_ray.functions.hashing import sha256_hex_array
 from radiant_portal_pipeline_ray.sources.io import read_parquet_clean
@@ -92,13 +91,19 @@ def dd_exact(sf_dir: str):
         g = t.group_by("h").aggregate([("doc_id", "min"), ("doc_id", "count")])
         return g.rename_columns(["h", "rep_doc_id", "n_copies"])
 
-    agg = (
-        ds.map_batches(hash_and_combine, batch_format="pyarrow")
-        .groupby("h")
-        .aggregate(
-            Min("rep_doc_id", alias_name="rep_doc_id"),
-            Sum("n_copies", alias_name="n_copies"),
+    from radiant_portal_pipeline_ray.stages.taskshuffle import exchange_group
+
+    def final_combine(g: pa.Table) -> pa.Table:
+        out = g.group_by("h").aggregate(
+            [("rep_doc_id", "min"), ("n_copies", "sum")]
         )
+        return out.rename_columns(["h", "rep_doc_id", "n_copies"])
+
+    agg = exchange_group(
+        ds.map_batches(hash_and_combine, batch_format="pyarrow"),
+        ["h"],
+        64,
+        final_combine,
     )
     return (
         agg.select_columns(["rep_doc_id", "n_copies"])
@@ -162,11 +167,9 @@ def _bucket_pairs(bucket_ds: "rd.Dataset", key_col: str, max_bucket: int):
             [p for p in ray.get(bucket_ds.to_arrow_refs()) if p.num_rows]
         )
         return gen(t.combine_chunks())
-    return (
-        bucket_ds.map_batches(make_pkey_adder(key_col), batch_format="pyarrow")
-        .groupby("pkey")
-        .map_groups(gen, batch_format="pyarrow")
-    )
+    from radiant_portal_pipeline_ray.stages.taskshuffle import exchange_group
+
+    return exchange_group(bucket_ds, [key_col], 64, gen)
 
 
 def _verify_table_driver(
@@ -777,13 +780,11 @@ def dd_simhash(sf_dir: str, max_bucket: int = 4096):
         )
         pt = partition_pairs(bt.combine_chunks())
     else:
-        pairs = (
-            buckets.map_batches(
-                make_pkey_adder("chunk_key"), batch_format="pyarrow"
-            )
-            .groupby("pkey")
-            .map_groups(partition_pairs, batch_format="pyarrow")
+        from radiant_portal_pipeline_ray.stages.taskshuffle import (
+            exchange_group,
         )
+
+        pairs = exchange_group(buckets, ["chunk_key"], 64, partition_pairs)
         parts = ray.get(pairs.to_arrow_refs())
         pt = pa.concat_tables([p for p in parts if p.num_rows])
     if pt.num_rows == 0:

@@ -385,12 +385,14 @@ def q_distinct_flag_status(sf_dir: str):
     def dedup(b: pa.Table) -> pa.Table:
         return b.group_by(["l_returnflag", "l_linestatus"]).aggregate([])
 
-    return (
-        ds.map_batches(dedup, batch_format="pyarrow")
-        .groupby(["l_returnflag", "l_linestatus"])
-        .map_groups(lambda g: g.slice(0, 1), batch_format="pyarrow")
-        .sort(["l_returnflag", "l_linestatus"])
-    )
+    from radiant_portal_pipeline_ray.stages.taskshuffle import exchange_group
+
+    return exchange_group(
+        ds.map_batches(dedup, batch_format="pyarrow"),
+        ["l_returnflag", "l_linestatus"],
+        64,
+        dedup,
+    ).sort(["l_returnflag", "l_linestatus"])
 
 
 # ---------------------------------------------------------------------------
@@ -420,13 +422,21 @@ def q_union_distinct_custkeys(sf_dir: str):
     def batch_distinct(t: pa.Table) -> pa.Table:
         return t.group_by("custkey").aggregate([])
 
-    n = (
-        a.union(b)
-        .map_batches(batch_distinct, batch_format="pyarrow")
-        .groupby("custkey")
-        .count()
-        .count()
+    from radiant_portal_pipeline_ray.stages.taskshuffle import exchange_group
+
+    def bucket_count(t: pa.Table) -> pa.Table:
+        nd = t.group_by("custkey").aggregate([]).num_rows
+        return pa.table({"c": pa.array([nd], type=pa.int64())})
+
+    # every custkey lands in exactly one bucket → the global distinct count
+    # is the sum of per-bucket distinct counts (scalar-only driver result)
+    counts = exchange_group(
+        a.union(b).map_batches(batch_distinct, batch_format="pyarrow"),
+        ["custkey"],
+        64,
+        bucket_count,
     )
+    n = int(counts.sum("c"))
     return pa.table({"n_keys": pa.array([n], type=pa.int64())})
 
 
@@ -457,18 +467,11 @@ def q_top_tokens(sf_dir: str, k: int = 20, n_partitions: int = 64):
         toks = toks.filter(pc.not_equal(toks, ""))
         t = pa.table({"token": toks})
         g = t.group_by("token").aggregate([("token", "count")])
-        g = g.rename_columns(["token", "n"])
-        from radiant_portal_pipeline_ray.stages.hashjoin import _bucket_of
-
-        return g.append_column(
-            pa.field("__pkey", pa.int32()),
-            _bucket_of(g, ["token"], n_partitions),
-        )
+        return g.rename_columns(["token", "n"])
 
     def partition_topk(group: pa.Table) -> pa.Table:
         g = (
-            group.drop_columns(["__pkey"])
-            .group_by("token")
+            group.group_by("token")
             .aggregate([("n", "sum")])
             .rename_columns(["token", "n"])
         )
@@ -478,10 +481,13 @@ def q_top_tokens(sf_dir: str, k: int = 20, n_partitions: int = 64):
             )
         ).slice(0, k)
 
-    pruned = (
-        docs.map_batches(explode_count, batch_format="pyarrow")
-        .groupby("__pkey")
-        .map_groups(partition_topk, batch_format="pyarrow")
+    from radiant_portal_pipeline_ray.stages.taskshuffle import exchange_group
+
+    pruned = exchange_group(
+        docs.map_batches(explode_count, batch_format="pyarrow"),
+        ["token"],
+        n_partitions,
+        partition_topk,
     )
     t = pa.Table.from_pylist(pruned.take_all())  # ≤ n_partitions·k rows
     t = t.take(
@@ -645,32 +651,46 @@ def q_order_overlap_windows(sf_dir: str):
     )
     win = 90 * 86_400_000_000  # 90 days in µs
 
-    def per_customer(g: pa.Table) -> pa.Table:
+    def per_bucket(g: pa.Table) -> pa.Table:
+        """All of a bucket's customers in one pass: lexsort by (custkey,
+        start), then the sorted-sweep overlap count runs per customer SEGMENT
+        (searchsorted is bounded to each segment — same O(n log n), no
+        per-customer Ray group dispatch)."""
         g = g.combine_chunks()
+        cust = g.column("o_custkey").to_numpy(zero_copy_only=False)
         starts = pc.cast(g.column("o_orderdate"), pa.int64()).to_numpy(
             zero_copy_only=False
         )
-        order = np.argsort(starts, kind="stable")
-        s = starts[order]
+        keys_all = g.column("o_orderkey").to_numpy(zero_copy_only=False)
+        order = np.lexsort((starts, cust))
+        c, s, keys = cust[order], starts[order], keys_all[order]
         e = s + win
-        keys = g.column("o_orderkey").to_numpy(zero_copy_only=False)[order]
+        n_rows = len(c)
+        n = np.empty(n_rows, dtype=np.int64)
+        seg_starts = np.concatenate(
+            [[0], np.flatnonzero(c[1:] != c[:-1]) + 1, [n_rows]]
+        ) if n_rows else np.array([0, 0])
         # interval i overlaps j ⇔ s[j] <= e[i] and e[j] >= s[i];
         # with sorted starts: count j with s[j] <= e[i] minus j with e[j] < s[i]
-        hi = np.searchsorted(s, e, side="right")
-        lo = np.searchsorted(np.sort(e), s, side="left")
-        n = hi - lo
-        out = pa.table(
+        for i in range(len(seg_starts) - 1):
+            lo_i, hi_i = int(seg_starts[i]), int(seg_starts[i + 1])
+            if lo_i == hi_i:
+                continue
+            ss, ee = s[lo_i:hi_i], e[lo_i:hi_i]
+            hi = np.searchsorted(ss, ee, side="right")
+            lo = np.searchsorted(np.sort(ee), ss, side="left")
+            n[lo_i:hi_i] = hi - lo
+        return pa.table(
             {
                 "o_orderkey": pa.array(keys, type=pa.int64()),
-                "n_overlaps": pa.array(n, type=pa.int64()),
+                "n_overlaps": pa.array(n[:n_rows], type=pa.int64()),
             }
         )
-        return out
 
-    return (
-        orders.groupby("o_custkey")
-        .map_groups(per_customer, batch_format="pyarrow")
-        .sort("o_orderkey")
+    from radiant_portal_pipeline_ray.stages.taskshuffle import exchange_group
+
+    return exchange_group(orders, ["o_custkey"], 64, per_bucket).sort(
+        "o_orderkey"
     )
 
 
@@ -804,22 +824,30 @@ def q_nation_segments(sf_dir: str):
         _pq(sf_dir, "customer"), columns=["c_nationkey", "c_mktsegment"]
     )
 
-    def agg(g: pa.Table) -> pa.Table:
-        segs = sorted(set(g.column("c_mktsegment").to_pylist()))
+    def agg_bucket(g: pa.Table) -> pa.Table:
+        """All of a bucket's nations in one arrow group_by: distinct-list
+        aggregate + count, then a tiny per-nation join of the sorted list."""
+        gg = g.group_by("c_nationkey").aggregate(
+            [("c_mktsegment", "distinct"), ("c_mktsegment", "count")]
+        )
+        segs = [
+            ",".join(sorted(lst))
+            for lst in gg.column("c_mktsegment_distinct").to_pylist()
+        ]
         return pa.table(
             {
-                "c_nationkey": pa.array(
-                    [g.column("c_nationkey")[0].as_py()], type=pa.int32()
+                "c_nationkey": pc.cast(gg.column("c_nationkey"), pa.int32()),
+                "segments": pa.array(segs, type=pa.string()),
+                "n_customers": pc.cast(
+                    gg.column("c_mktsegment_count"), pa.int64()
                 ),
-                "segments": pa.array([",".join(segs)], type=pa.string()),
-                "n_customers": pa.array([g.num_rows], type=pa.int64()),
             }
         )
 
-    return (
-        cust.groupby("c_nationkey")
-        .map_groups(agg, batch_format="pyarrow")
-        .sort("c_nationkey")
+    from radiant_portal_pipeline_ray.stages.taskshuffle import exchange_group
+
+    return exchange_group(cust, ["c_nationkey"], 16, agg_bucket).sort(
+        "c_nationkey"
     )
 
 
@@ -975,20 +1003,12 @@ def q_left_join_rank1(sf_dir: str):
 )
 def q_user_sessions(sf_dir: str, gap_us: int = 1_800_000_000, n_partitions: int = 64):
     """Sessionize each user's event stream: a gap > 30 min starts a new
-    session. Users co-locate under a coarse pkey; each partition sessionizes
-    ALL its users in one vectorized pass (lexsort → gap flags → per-user
-    cumulative session numbers → one arrow group_by)."""
-    from radiant_portal_pipeline_ray.stages.hashjoin import _bucket_of
-
+    session. Users co-locate through the keyed task shuffle; each bucket
+    sessionizes ALL its users in one vectorized pass (lexsort → gap flags →
+    per-user cumulative session numbers → one arrow group_by)."""
     ev = read_parquet_clean(
         _pq(sf_dir, "events"), columns=["user_id", "ts", "event_id"]
     )
-
-    def add_pkey(b: pa.Table) -> pa.Table:
-        return b.append_column(
-            pa.field("__pkey", pa.int32()),
-            _bucket_of(b, ["user_id"], n_partitions),
-        )
 
     def sessionize(group: pa.Table) -> pa.Table:
         u = group.column("user_id").to_numpy(zero_copy_only=False)
@@ -1042,11 +1062,10 @@ def q_user_sessions(sf_dir: str, gap_us: int = 1_800_000_000, n_partitions: int 
             }
         )
 
-    return (
-        ev.map_batches(add_pkey, batch_format="pyarrow")
-        .groupby("__pkey")
-        .map_groups(sessionize, batch_format="pyarrow")
-        .sort(["user_id", "session_no"])
+    from radiant_portal_pipeline_ray.stages.taskshuffle import exchange_group
+
+    return exchange_group(ev, ["user_id"], n_partitions, sessionize).sort(
+        ["user_id", "session_no"]
     )
 
 

@@ -207,25 +207,19 @@ def _bucketed_ann_pairs(
 ) -> "rd.Dataset":
     """(vector, bucket) rows → deduped within-bucket cosine pairs.
 
-    Scale shape: ONE coarse-pkey shuffle groups millions of tiny buckets
-    into 64 partitions (each processed by one vectorized call —
-    stages/dedup.make_pkey_adder rationale); the pair kernel caps hot
-    buckets with logged drop markers and computes similarities in blocked
-    strips (stages/similarity.make_cosine_bucket_pairs); the final pair
-    dedup is a partial-before-shuffle grouped min, not a per-group Python
-    pass."""
+    Scale shape: ONE keyed task-shuffle groups millions of tiny buckets
+    into 64 partitions (each processed by one vectorized call); the pair
+    kernel caps hot buckets with logged drop markers and computes
+    similarities in blocked strips
+    (stages/similarity.make_cosine_bucket_pairs); the final pair dedup is a
+    partial-before-shuffle grouped min, not a per-group Python pass."""
     from radiant_portal_pipeline_ray.stages.aggregates import (
         partial_final_groupby,
     )
-    from radiant_portal_pipeline_ray.stages.dedup import make_pkey_adder
+    from radiant_portal_pipeline_ray.stages.taskshuffle import exchange_group
 
     gen = make_cosine_bucket_pairs(bucket_col, threshold, max_bucket)
-    pairs = (
-        ds.map_batches(make_pkey_adder(bucket_col), batch_format="pyarrow")
-        .groupby("pkey")
-        .map_groups(gen, batch_format="pyarrow")
-        .materialize()
-    )
+    pairs = exchange_group(ds, [bucket_col], 64, gen).materialize()
     markers = pairs.map_batches(
         lambda b: b.filter(pc.equal(b.column("vec_a"), -1)),
         batch_format="pyarrow",

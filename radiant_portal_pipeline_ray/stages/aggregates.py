@@ -38,33 +38,27 @@ def partial_final_groupby(
     """groupby(keys) with per-batch combining. Returns one row per key.
 
     The final combine avoids Ray's per-group aggregate machinery (Python
-    overhead per group — at 10^5+ groups it dominates): partial rows carry a
-    coarse ``__pkey = hash(keys) % n_partitions``, the shuffle groups on
-    THAT (``n_partitions`` groups total), and each partition folds all its
-    keys in ONE vectorized arrow ``group_by`` call."""
+    overhead per group — at 10^5+ groups it dominates): the partial rows
+    hash-exchange on the keys into ``n_partitions`` buckets (task shuffle,
+    no sort) and each bucket folds all its keys in ONE vectorized arrow
+    ``group_by`` call."""
+    from radiant_portal_pipeline_ray.stages.taskshuffle import exchange_group
 
     def partial(batch: pa.Table) -> pa.Table:
         spec = [(c, _PARTIAL_FN[f]) for c, f, _ in aggs]
         g = batch.group_by(keys).aggregate(spec)
         # pyarrow names results "<col>_<fn>"; rename to the output names
         mapping = {f"{c}_{_PARTIAL_FN[f]}": out for c, f, out in aggs}
-        g = g.rename_columns([mapping.get(n, n) for n in g.column_names])
-        from radiant_portal_pipeline_ray.stages.hashjoin import _bucket_of
-
-        return g.append_column(
-            pa.field("__pkey", pa.int32()), _bucket_of(g, keys, n_partitions)
-        )
+        return g.rename_columns([mapping.get(n, n) for n in g.column_names])
 
     def final_combine(group: pa.Table) -> pa.Table:
         spec = [(out, _FINAL_FN[f]) for _, f, out in aggs]
-        g = group.drop_columns(["__pkey"]).group_by(keys).aggregate(spec)
+        g = group.group_by(keys).aggregate(spec)
         mapping = {f"{out}_{_FINAL_FN[f]}": out for _, f, out in aggs}
         return g.rename_columns([mapping.get(n, n) for n in g.column_names])
 
     partials = ds.map_batches(partial, batch_format="pyarrow", batch_size=batch_size)
-    return partials.groupby("__pkey").map_groups(
-        final_combine, batch_format="pyarrow"
-    )
+    return exchange_group(partials, keys, n_partitions, final_combine)
 
 
 def topk_per_key_table(
@@ -102,8 +96,10 @@ def topk_per_key(
     batch_size: int = 65536,
 ) -> Dataset:
     """Distributed per-key top-k: per-batch prune (≤k rows per key leave any
-    batch) → groupby(keys).map_groups final pick. The prune makes the
+    batch) → keyed task-shuffle → one vectorized final pick per bucket (all
+    of that bucket's keys at once — no per-key Python). The prune makes the
     shuffle O(keys·k), not O(rows)."""
+    from radiant_portal_pipeline_ray.stages.taskshuffle import exchange_group
 
     def prune(batch: pa.Table) -> pa.Table:
         return topk_per_key_table(batch, keys, order_by, k)
@@ -112,9 +108,7 @@ def topk_per_key(
         return topk_per_key_table(group, keys, order_by, k)
 
     pruned = ds.map_batches(prune, batch_format="pyarrow", batch_size=batch_size)
-    return pruned.groupby(keys[0] if len(keys) == 1 else keys).map_groups(
-        final, batch_format="pyarrow"
-    )
+    return exchange_group(pruned, keys, 64, final)
 
 
 def count_distinct_groupby(
@@ -142,15 +136,38 @@ def count_distinct_groupby(
 
     pairs = ds.map_batches(dedup, batch_format="pyarrow", batch_size=batch_size)
 
-    def per_key(group: pa.Table) -> pa.Table:
-        out = {k: [group.column(k)[0].as_py()] for k in keys}
-        vals = group.column(distinct_col)
-        out[out_name] = [len(pc.unique(pc.drop_null(vals)))]
+    from radiant_portal_pipeline_ray.stages.taskshuffle import exchange_group
+
+    def per_bucket(group: pa.Table) -> pa.Table:
+        # all of the bucket's keys in one vectorized pass: arrow
+        # count_distinct (mode=only_valid ≡ the unique(drop_null()) count)
+        g = group.group_by(keys).aggregate([(distinct_col, "count_distinct")])
+        g = g.rename_columns(
+            [
+                out_name if n == f"{distinct_col}_count_distinct" else n
+                for n in g.column_names
+            ]
+        )
         for p, name in predicate_cols.items():
             mask = pc.fill_null(group.column(p), False)
-            out[name] = [len(pc.unique(pc.drop_null(vals.filter(mask))))]
-        return pa.table(out)
+            gp = (
+                group.filter(mask)
+                .group_by(keys)
+                .aggregate([(distinct_col, "count_distinct")])
+            )
+            gp = gp.rename_columns(
+                [
+                    name if n == f"{distinct_col}_count_distinct" else n
+                    for n in gp.column_names
+                ]
+            )
+            g = g.join(gp, keys=keys, join_type="left outer")
+            ci = g.schema.get_field_index(name)
+            g = g.set_column(
+                ci,
+                pa.field(name, pa.int64()),
+                pc.fill_null(pc.cast(g.column(name), pa.int64()), 0),
+            )
+        return g.combine_chunks()
 
-    return pairs.groupby(keys[0] if len(keys) == 1 else keys).map_groups(
-        per_key, batch_format="pyarrow"
-    )
+    return exchange_group(pairs, keys, 64, per_bucket)

@@ -1,11 +1,11 @@
 """Partitioned hash join for two LARGE sides (explicit bucketed shuffle).
 
 When neither side fits a broadcast (reference J2's fallback:
-"else co-partitioned map_groups merge", SURVEY §2.4), the portable Ray Data
-shape is: add ``__bucket = stable_hash(keys) % B`` to both sides, tag the
-side, union, ``groupby(__bucket)``, and join the two sides of each bucket
-with pyarrow's Acero ``Table.join`` inside ``map_groups``. One all-to-all
-exchange; per-bucket work is a vectorized C++ hash join.
+"else co-partitioned map_groups merge", SURVEY §2.4): hash-co-partition both
+sides on ``stable_hash(keys) % B`` through the task shuffle
+(stages/taskshuffle.py — one plasma materialization per side, no sort) and
+join each aligned bucket pair with pyarrow's Acero ``Table.join``. One
+all-to-all exchange; per-bucket work is a vectorized C++ hash join.
 
 Supports composite keys and every Acero join type; the short aliases
 ``left/right/full/semi/anti`` map onto Acero's names (reference J2 is a
@@ -89,49 +89,18 @@ def hash_partitioned_join(
     if join_type is None:
         raise ValueError(f"unsupported join type {how!r}")
 
-    def tag(side: str, keys: list[str]):
-        def fn(batch: pa.Table) -> pa.Table:
-            b = _bucket_of(batch, keys, num_buckets)
-            batch = batch.append_column(pa.field("__bucket", pa.int32()), b)
-            return batch.append_column(
-                pa.field("__side", pa.string()),
-                pa.array([side] * batch.num_rows, type=pa.string()),
-            )
+    from radiant_portal_pipeline_ray.stages.taskshuffle import exchange_join
 
-        return fn
-
-    lt = left.map_batches(tag("l", left_keys), batch_format="pyarrow")
-    rt = right.map_batches(tag("r", right_keys), batch_format="pyarrow")
-
-    l_schema = left.schema(fetch_if_missing=True)
-    r_schema = right.schema(fetch_if_missing=True)
-    l_names = [f.name for f in l_schema.base_schema]
-    r_names = [f.name for f in r_schema.base_schema]
-
-    def join_bucket(group: pa.Table) -> pa.Table:
-        side = group.column("__side")
-        lmask = pc.equal(side, "l")
-        lt_ = group.filter(lmask).select(l_names)
-        rt_ = group.filter(pc.invert(lmask)).select(r_names)
+    def join_bucket(lt_: pa.Table, rt_: pa.Table) -> pa.Table:
         joined = lt_.join(
             rt_, keys=left_keys, right_keys=right_keys, join_type=join_type
         )
         return joined.combine_chunks()
 
-    # union needs identical schemas → pad each side with the other's columns
-    all_fields: dict[str, pa.DataType] = {}
-    for sch in (l_schema.base_schema, r_schema.base_schema):
-        for f in sch:
-            all_fields.setdefault(f.name, f.type)
-    union_schema = pa.schema(
-        [pa.field(n, t) for n, t in all_fields.items()]
-        + [pa.field("__bucket", pa.int32()), pa.field("__side", pa.string())]
-    )
-    from radiant_portal_pipeline_ray.schemas import align_table
-
-    lt = lt.map_batches(lambda b: align_table(b, union_schema), batch_format="pyarrow")
-    rt = rt.map_batches(lambda b: align_table(b, union_schema), batch_format="pyarrow")
-
-    return lt.union(rt).groupby("__bucket").map_groups(
-        join_bucket, batch_format="pyarrow"
+    # Each side exchanges independently through the task shuffle (one plasma
+    # materialization, no sort, no union/column-padding pass); aligned bucket
+    # pairs join with Acero's C++ hash join. Empty sides arrive as typed
+    # empty tables so outer joins stay exact per bucket.
+    return exchange_join(
+        left, right, left_keys, right_keys, num_buckets, join_bucket
     )

@@ -65,14 +65,21 @@ def run_checks(
             rows or [{"check": "_none", "key": "_", "val": 0}]
         )
 
-    agg = (
-        ds.map_batches(partials, batch_format="pyarrow")
-        .groupby(["check", "key"])
-        .sum("val")
+    from radiant_portal_pipeline_ray.stages.taskshuffle import exchange_group
+
+    def fold(g: pa.Table) -> pa.Table:
+        out = g.group_by(["check", "key"]).aggregate([("val", "sum")])
+        return out.rename_columns(["check", "key", "val"])
+
+    agg = exchange_group(
+        ds.map_batches(partials, batch_format="pyarrow"),
+        ["check", "key"],
+        16,
+        fold,
     )
     counters: dict[str, dict] = {}
     for r in agg.take_all():
-        counters.setdefault(r["check"], {})[r["key"]] = r["sum(val)"]
+        counters.setdefault(r["check"], {})[r["key"]] = r["val"]
 
     known = known_failures or {}
     report: dict = {
@@ -173,14 +180,22 @@ def accepted_values(col: str, allowed: list) -> QACheck:
 
 
 def unique_key_global(ds: Dataset, col: str) -> dict:
-    """Exact global uniqueness: groupby(col) count, max must be 1.
-    A separate shuffle — run on demand, not in the streaming pass."""
-    dup = (
-        ds.groupby(col)
-        .count()
-        .filter(lambda r: r["count()"] > 1)
-        .count()
-    )
+    """Exact global uniqueness: keyed task-shuffle, per-bucket duplicate
+    count (every value of ``col`` lands in exactly one bucket). A separate
+    shuffle — run on demand, not in the streaming pass."""
+    from radiant_portal_pipeline_ray.stages.taskshuffle import exchange_group
+
+    def dup_count(g: pa.Table) -> pa.Table:
+        counts = g.group_by(col).aggregate([(col, "count")])
+        n_dup = int(
+            pc.sum(
+                pc.greater(counts.column(f"{col}_count"), 1).cast(pa.int64())
+            ).as_py()
+            or 0
+        )
+        return pa.table({"dups": pa.array([n_dup], type=pa.int64())})
+
+    dup = int(exchange_group(ds, [col], 64, dup_count).sum("dups"))
     return {"ok": dup == 0, "detail": f"duplicate_keys={dup}"}
 
 

@@ -22,6 +22,8 @@ def _emb_matrix(batch: pa.Table, col: str = "embedding") -> np.ndarray:
     lists = batch.column(col)
     flat = np.asarray(lists.combine_chunks().flatten(), dtype=np.float64)
     n = batch.num_rows
+    if n == 0:  # empty bucket from a keyed exchange
+        return flat.reshape(0, 1)
     return flat.reshape(n, -1)
 
 

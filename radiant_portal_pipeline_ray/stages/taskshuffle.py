@@ -146,6 +146,193 @@ def split_task(
     return tuple([stats] + buckets)
 
 
+# ---------------------------------------------------------------------------
+# Generic keyed exchange over Dataset blocks (shared by the relational
+# operators): same single-materialization shape as the CDC split/merge above,
+# parameterized by key columns and a per-bucket kernel. Replaces
+# ``groupby(bucket).map_groups`` (Ray Data's sort-based all-to-all) for
+# operators that only need hash co-location, not a global order.
+# ---------------------------------------------------------------------------
+
+_KNUTH = np.uint64(0x9E3779B97F4A7C15)
+
+
+def bucket_ids(batch: pa.Table, keys: list[str], n_buckets: int) -> np.ndarray:
+    """Deterministic composite-key bucket id (vectorized)."""
+    import pyarrow.compute as pc
+
+    h = np.zeros(batch.num_rows, dtype=np.uint64)
+    for k in keys:
+        col = batch.column(k)
+        if pa.types.is_integer(col.type):
+            v = (
+                pc.fill_null(pc.cast(col, pa.int64()), 0)
+                .to_numpy(zero_copy_only=False)
+                .astype(np.uint64)
+            )
+        else:
+            from radiant_portal_pipeline_ray.stages.dedup import hash64_strings
+
+            v = hash64_strings(pc.cast(col, pa.string())).astype(np.uint64)
+        h = (h ^ v) * _KNUTH
+    return ((h >> np.uint64(33)) % np.uint64(n_buckets)).astype(np.int64)
+
+
+@ray.remote
+def bucket_split_task(refs: list, keys: list[str], n_buckets: int):
+    """Concat a chunk of Dataset blocks → split by key-hash bucket. Returns
+    one sub-table (or None) per bucket via static multi-returns."""
+    tabs = [t for t in ray.get(list(refs)) if t.num_rows]
+    if not tabs:
+        return tuple([None] * n_buckets) if n_buckets > 1 else None
+    t = pa.concat_tables(tabs, promote_options="permissive").combine_chunks()
+    b = bucket_ids(t, keys, n_buckets)
+    order = np.argsort(b, kind="stable")
+    ts = t.take(pa.array(order)).combine_chunks()
+    bs = b[order]
+    bounds = np.searchsorted(bs, np.arange(n_buckets + 1))
+    out = [
+        ts.slice(int(bounds[i]), int(bounds[i + 1] - bounds[i]))
+        if bounds[i + 1] > bounds[i]
+        else None
+        for i in range(n_buckets)
+    ]
+    return tuple(out) if n_buckets > 1 else out[0]
+
+
+def _concat_or_empty(tabs: list, schema: pa.Schema) -> pa.Table:
+    tabs = [t for t in tabs if t is not None and t.num_rows]
+    if not tabs:
+        return pa.Table.from_arrays(
+            [pa.array([], type=f.type) for f in schema], schema=schema
+        )
+    return pa.concat_tables(tabs, promote_options="permissive").combine_chunks()
+
+
+@ray.remote
+def bucket_apply_task(fn, refs: list, schema: pa.Schema) -> pa.Table:
+    """Unary per-bucket kernel over one bucket's ref column."""
+    return fn(_concat_or_empty(ray.get(list(refs)), schema))
+
+
+@ray.remote
+def bucket_join_task(
+    fn, l_refs: list, r_refs: list, l_schema: pa.Schema, r_schema: pa.Schema
+) -> pa.Table:
+    """Binary per-bucket kernel (join) over aligned bucket columns."""
+    lt = _concat_or_empty(ray.get(list(l_refs)), l_schema)
+    rt = _concat_or_empty(ray.get(list(r_refs)), r_schema)
+    return fn(lt, rt)
+
+
+#: target bytes per bucket/split-task — sized so the (tasks × buckets)
+#: object count stays small for small inputs (a 40 MB partial table gets 4
+#: buckets, not 64×64 = 4096 tiny plasma objects) while large inputs fan out
+#: to the caller's ceiling.
+_TARGET_BUCKET_BYTES = 64 << 20
+
+#: below this, run the group kernel once on the driver (pre-combined
+#: partials / pruned rows only — still a single vectorized arrow call)
+_DRIVER_LOCAL_BYTES = 16 << 20
+
+
+def _split_refs(
+    refs: list, keys: list[str], n_buckets: int, total_bytes: int
+) -> list[list]:
+    """Fan a Dataset's block refs through bucket_split_task; returns the
+    (task × bucket) ref matrix."""
+    import ray as _ray
+
+    cpus = int(_ray.cluster_resources().get("CPU", 8))
+    by_size = max(1, -(-total_bytes // (_TARGET_BUCKET_BYTES // 4)))
+    n_tasks = max(1, min(2 * cpus, len(refs), by_size))
+    size = -(-len(refs) // n_tasks)
+    chunks = [refs[i : i + size] for i in range(0, len(refs), size)]
+    task = bucket_split_task.options(num_returns=n_buckets)
+    mat = [task.remote(ch, keys, n_buckets) for ch in chunks]
+    if n_buckets == 1:
+        return [[r] for r in mat]
+    return [list(r) for r in mat]
+
+
+def _clamp_buckets(n_buckets: int, total_bytes: int) -> int:
+    """Small inputs don't amortize per-bucket task overhead — scale the
+    bucket count with the exchanged byte volume (the caller's ``n_buckets``
+    stays the ceiling: the partitioning-assumption knob at real scale)."""
+    by_size = max(4, -(-total_bytes // _TARGET_BUCKET_BYTES))
+    return max(1, min(n_buckets, by_size))
+
+
+def exchange_group(ds, keys: list[str], n_buckets: int, fn):
+    """Hash-partition ``ds`` on ``keys`` into ``n_buckets`` and apply
+    ``fn(bucket_table) -> pa.Table`` once per bucket (every row of a key in
+    exactly one call). Returns a Dataset of the concatenated results. One
+    plasma materialization, no sort."""
+    import ray.data as rd
+
+    sch = ds.schema(fetch_if_missing=True)
+    if sch is None:
+        # zero-block input: grouping is a no-op (matches groupby().map_groups
+        # on an empty dataset — the kernel is never invoked)
+        return ds
+    schema = pa.schema(sch.base_schema)
+    ds = ds.materialize()
+    refs = ds.to_arrow_refs()
+    nbytes = int(ds.size_bytes() or 0)
+    if nbytes <= _DRIVER_LOCAL_BYTES:
+        # tiny exchange (pre-combined partials, pruned top-k rows): one
+        # vectorized kernel call beats any task fan-out. Bounded by the
+        # byte threshold — never the raw-input path.
+        import ray as _ray
+
+        t = _concat_or_empty(_ray.get(refs), schema)
+        return rd.from_arrow(fn(t))
+    n_buckets = _clamp_buckets(n_buckets, nbytes)
+    mat = _split_refs(refs, keys, n_buckets, nbytes)
+    out = [
+        bucket_apply_task.remote(fn, [row[b] for row in mat], schema)
+        for b in range(n_buckets)
+    ]
+    return rd.from_arrow_refs(out)
+
+
+def exchange_join(
+    left,
+    right,
+    left_keys: list[str],
+    right_keys: list[str],
+    n_buckets: int,
+    fn,
+):
+    """Hash-co-partition two Datasets and apply ``fn(left_bucket,
+    right_bucket) -> pa.Table`` per aligned bucket pair. The two sides
+    exchange independently (no union / column padding); empty sides arrive
+    as empty tables with the correct schema so outer joins stay exact."""
+    import ray.data as rd
+
+    l_schema = pa.schema(left.schema(fetch_if_missing=True).base_schema)
+    r_schema = pa.schema(right.schema(fetch_if_missing=True).base_schema)
+    left, right = left.materialize(), right.materialize()
+    l_refs = left.to_arrow_refs()
+    r_refs = right.to_arrow_refs()
+    l_bytes = int(left.size_bytes() or 0)
+    r_bytes = int(right.size_bytes() or 0)
+    n_buckets = _clamp_buckets(n_buckets, max(l_bytes, r_bytes))
+    l_mat = _split_refs(l_refs, left_keys, n_buckets, l_bytes)
+    r_mat = _split_refs(r_refs, right_keys, n_buckets, r_bytes)
+    out = [
+        bucket_join_task.remote(
+            fn,
+            [row[b] for row in l_mat],
+            [row[b] for row in r_mat],
+            l_schema,
+            r_schema,
+        )
+        for b in range(n_buckets)
+    ]
+    return rd.from_arrow_refs(out)
+
+
 @ray.remote
 def merge_bucket_task(
     kernel: MergeKernel, refs: list, extra_parts: list[int]
