@@ -15,20 +15,22 @@ loop `radiant/dags/import_radiant.py:48-210`):
      round)
   3. schema discovery over changelog footers → widen-only unification with
      the snapshot schema (add / widen / drop evolution)
-  4. ``read_parquet`` the delta (row-filter ``lsn > min committed
-     watermark``) → normalize ``map_batches`` (recompute text, route to
-     partitions, drop already-applied events) → materialize ONCE (the
-     merge's sort re-samples a lazy input for range boundaries, re-running
-     normalize; ``cfg.sparse_scout`` trades this for a column-pruned probe)
+  4. the delta exchange (default ``cfg.exchange='task'``,
+     stages/taskshuffle.py): fused read+normalize+split tasks — one per
+     row-group chunk, with lsn row-group pruning — emit one plasma object
+     per partition bucket; the delta is materialized exactly once, with no
+     sort and no boundary sampling. (``'sort'`` keeps the Dataset
+     ``groupby(part).map_groups`` path: read → normalize ``map_batches`` →
+     materialize → sort shuffle; ``'actor'`` streams pushes into shard
+     actors — see stages/exchange.py.)
   5. carried-forward side: a STABLE changed partition's committed files are
      read locally INSIDE its merge task (the lake layout is already
      part-partitioned) — only partitions under a salt migration, whose
      routing is changing, shuffle their carried rows through the snapshot
      caster (``op='S'``)
-  6. ``union`` → ``groupby("part").map_groups`` vectorized LWW merge, each
-     group writing url-sorted staged Parquet and returning one metadata row
-     (``cfg.exchange='actor'`` swaps the sort shuffle for the streaming
-     shard-actor exchange in stages/exchange.py)
+  6. per-bucket merge tasks run the vectorized LWW merge kernel
+     (stages/merge.py), each partition writing url-sorted staged Parquet
+     and returning one metadata row
   7. two-phase commit: promote staged files, publish manifest v+1 via
      atomic put-if-absent (idempotent by txn-id, conflict-retry loop;
      fails fast if a concurrent writer advanced a merged partition)
@@ -160,6 +162,15 @@ class CdcEngine:
             salt_target_rows=cfg.salt_target_rows,
             salt_headroom=cfg.salt_headroom,
         )
+        # Bootstrap pre-salting: on an EMPTY lake every domain is new, so a
+        # hot domain can be salted BEFORE any row routes — no committed rows
+        # means no migration, killing both the first-round zipf-head merge
+        # straggler and the next round's migration reshuffle. A column-pruned
+        # url read (KBs per file) counts events per domain; the decisions'
+        # migration lists are discarded (nothing to migrate). Deterministic
+        # (exact counts), so a retried round re-derives the same salt map.
+        if current is None and cfg.salt_threshold_rows:
+            partitioner.observe_domain_rows(self._bootstrap_domain_counts(paths))
 
         # ---- schema discovery & unification (driver-side footer reads,
         # threaded: a binlog tail is many small files and serial footer
@@ -446,6 +457,34 @@ class CdcEngine:
             rep["priority"] = jobs[nxt].get("priority", 1_000_000)
             out.append(rep)
         return out
+
+    # ------------------------------------------------------------------
+    @staticmethod
+    def _bootstrap_domain_counts(paths: list[str]) -> dict[str, int]:
+        """Event counts per domain from a column-pruned ``url`` read
+        (threaded; pyarrow releases the GIL for reads and kernels). Event
+        count upper-bounds live rows — over-salting a duplicate-heavy
+        domain just allocates headroom it would get anyway."""
+        from concurrent.futures import ThreadPoolExecutor
+
+        from radiant_portal_pipeline_ray.functions.hashing import (
+            extract_domain,
+        )
+
+        def one(p: str) -> dict[str, int]:
+            urls = pq.read_table(p, columns=["url"]).column("url")
+            doms = extract_domain(urls)
+            vc = pa.table({"d": doms}).group_by("d").aggregate([("d", "count")])
+            return dict(
+                zip(vc.column("d").to_pylist(), vc.column("d_count").to_pylist())
+            )
+
+        counts: dict[str, int] = {}
+        with ThreadPoolExecutor(max_workers=16) as ex:
+            for d in ex.map(one, paths):
+                for k, v in d.items():
+                    counts[k] = counts.get(k, 0) + int(v)
+        return counts
 
     # ------------------------------------------------------------------
     def _apply_task_exchange(

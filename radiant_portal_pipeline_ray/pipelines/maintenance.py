@@ -188,12 +188,32 @@ def compact(
         cfg.compression,
         purge_horizon_us,
     )
-    meta_rows = (
-        rd.read_parquet(files)
-        .groupby("part")
-        .map_groups(rewriter, batch_format="pyarrow")
-        .take_all()
-    )
+    from radiant_portal_pipeline_ray.stages.taskshuffle import exchange_group
+
+    def rewrite_bucket(g: pa.Table) -> pa.Table:
+        """One keyed-exchange bucket may hold several partitions — rewrite
+        each part's rows separately (slice per part, one staged dir each)."""
+        import numpy as np
+
+        if g.num_rows == 0:
+            return _META.empty_table()
+        parts = g.column("part").to_numpy(zero_copy_only=False)
+        order = np.argsort(parts, kind="stable")
+        gs = g.take(pa.array(order)).combine_chunks()
+        sp = parts[order]
+        starts = np.concatenate(
+            [[0], np.flatnonzero(np.diff(sp)) + 1, [len(sp)]]
+        )
+        metas = [
+            rewriter(gs.slice(int(starts[i]), int(starts[i + 1] - starts[i])))
+            for i in range(len(starts) - 1)
+            if starts[i + 1] > starts[i]
+        ]
+        return pa.concat_tables(metas)
+
+    meta_rows = exchange_group(
+        rd.read_parquet(files), ["part"], 64, rewrite_bucket
+    ).take_all()
     lake.promote_staged_files(txn_id)
 
     attempt = 0

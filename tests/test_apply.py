@@ -203,3 +203,29 @@ def test_hot_domain_salting_preserves_correctness(ray_session, tmp_lake, tmp_pat
     # no url appears twice (salting must never split a url across parts)
     urls = eng.snapshot_table(["url"]).column("url").to_pylist()
     assert len(urls) == len(set(urls))
+
+
+def test_bootstrap_presalt_on_empty_lake(ray_session, tmp_lake, tmp_path):
+    """First apply on an EMPTY lake salts hot domains BEFORE routing (the
+    column-pruned pre-pass) — version-1 manifest already carries the salt
+    map, with NO pending migrations (nothing committed to migrate), and the
+    final state still matches the oracle."""
+    spec = ChangelogSpec(
+        n_urls=2000, n_events=6000, n_batches=3, seed=13, zipf_a=2.5
+    )
+    paths = generate_changelog(str(tmp_path / "hot"), spec)
+    cfg = EngineConfig(n_parts=4, salt_threshold_rows=500, salt_target_rows=300)
+    eng = CdcEngine(tmp_lake, cfg)
+    eng.apply([paths[0]])
+    man = eng.lake.current_manifest()
+    assert man.version == 1
+    assert man.salt_map, "hot domain should pre-salt on the bootstrap round"
+    assert not man.pending_migrations, "bootstrap pre-salt must not migrate"
+
+    for p in paths[1:]:
+        eng.apply([p])
+    got = engine_state(eng)
+    want = oracle_final_state(paths)
+    assert_tables_equal(got, want)
+    urls = eng.snapshot_table(["url"]).column("url").to_pylist()
+    assert len(urls) == len(set(urls))
