@@ -1135,3 +1135,101 @@ def q_sliding_user_windows(sf_dir: str):
         ),
         batch_format="pyarrow",
     ).sort(["user_id", "win_start_q"])
+
+
+# ---------------------------------------------------------------------------
+# As-of join (point-in-time enrichment): each event picks up the LATEST
+# order of the same customer at-or-before the event time. The canonical
+# "attach the most recent dimension state" operator a changelog pipeline
+# needs (the reference's analogue is the LWW rank-1 pick applied across two
+# streams, `exomiser_insert_partition_delta.sql:9`); Ray Data has no asof
+# join, so it composes as: keyed task-shuffle co-location → one vectorized
+# merged-scan per bucket (lexsort both sides together, forward-max of right
+# positions, key-equality validation — no per-key Python).
+# ---------------------------------------------------------------------------
+@_register(
+    "q_asof_latest_order",
+    """
+    SELECT e.event_id, e.user_id, o.ok AS o_orderkey
+    FROM events e ASOF LEFT JOIN (
+      SELECT o_custkey, CAST(o_orderdate AS TIMESTAMP) AS ots,
+             MAX(o_orderkey) AS ok
+      FROM orders GROUP BY 1, 2
+    ) o ON e.user_id = o.o_custkey AND e.ts >= o.ots
+    ORDER BY event_id
+    """,
+)
+def q_asof_latest_order(sf_dir: str, n_buckets: int = 64):
+    ev = read_parquet_clean(
+        _pq(sf_dir, "events"), columns=["event_id", "user_id", "ts"]
+    )
+    orders = read_parquet_clean(
+        _pq(sf_dir, "orders"), columns=["o_custkey", "o_orderdate", "o_orderkey"]
+    )
+
+    def asof_bucket(l: pa.Table, r: pa.Table) -> pa.Table:
+        eid = l.column("event_id").to_numpy(zero_copy_only=False)
+        kl = l.column("user_id").to_numpy(zero_copy_only=False)
+        tsl = pc.cast(l.column("ts"), pa.int64()).to_numpy(zero_copy_only=False)
+        if l.num_rows == 0:
+            return pa.table(
+                {
+                    "event_id": pa.array([], pa.int64()),
+                    "user_id": pa.array([], pa.int64()),
+                    "o_orderkey": pa.array([], pa.int64()),
+                }
+            )
+        kr = r.column("o_custkey").to_numpy(zero_copy_only=False)
+        tsr = (
+            pc.cast(pc.cast(r.column("o_orderdate"), pa.timestamp("us")), pa.int64())
+            .to_numpy(zero_copy_only=False)
+        )
+        okr = r.column("o_orderkey").to_numpy(zero_copy_only=False)
+        # deterministic tie-break: one right row per (key, ts) = max orderkey
+        if len(kr):
+            o = np.lexsort((okr, tsr, kr))
+            kr, tsr, okr = kr[o], tsr[o], okr[o]
+            last = np.concatenate(
+                [(kr[1:] != kr[:-1]) | (tsr[1:] != tsr[:-1]), [True]]
+            )
+            kr, tsr, okr = kr[last], tsr[last], okr[last]
+        nR = len(kr)
+        # merged scan: sort right+left rows together by (key, ts) with right
+        # rows winning ties (ts >= is inclusive); the forward max of right
+        # positions at each left row is its as-of match iff keys agree —
+        # a right row of an EARLIER key in between proves "no match".
+        k_all = np.concatenate([kr, kl])
+        ts_all = np.concatenate([tsr, tsl])
+        tag = np.concatenate(
+            [np.zeros(nR, dtype=np.int8), np.ones(len(kl), dtype=np.int8)]
+        )
+        order = np.lexsort((tag, ts_all, k_all))
+        tag_s, k_s = tag[order], k_all[order]
+        rightpos = np.where(tag_s == 0, np.arange(len(order)), -1)
+        acc = np.maximum.accumulate(rightpos)
+        lmask = tag_s == 1
+        lpos = np.flatnonzero(lmask)
+        rp = acc[lpos]
+        li = order[lpos] - nR  # original left row index
+        valid = (rp >= 0) & (k_s[rp] == k_s[lpos])
+        ok = np.full(len(kl), -1, dtype=np.int64)
+        ok[li[valid]] = okr[order[rp[valid]]]
+        res = pa.table(
+            {
+                "event_id": pa.array(eid, type=pa.int64()),
+                "user_id": pa.array(kl, type=pa.int64()),
+                "o_orderkey": pa.array(ok, type=pa.int64()),
+            }
+        )
+        mask = pc.equal(res.column("o_orderkey"), -1)
+        return res.set_column(
+            2,
+            pa.field("o_orderkey", pa.int64()),
+            pc.if_else(mask, pa.scalar(None, pa.int64()), res.column("o_orderkey")),
+        )
+
+    from radiant_portal_pipeline_ray.stages.taskshuffle import exchange_join
+
+    return exchange_join(
+        ev, orders, ["user_id"], ["o_custkey"], n_buckets, asof_bucket
+    ).sort("event_id")
