@@ -40,6 +40,24 @@ _ENTITIES = [
     ("&amp;", "&"),
 ]
 
+try:  # polars' regex engine runs the structural pass ~30% faster than RE2;
+    # byte-identical output on this pattern (leftmost-first alternation in
+    # both engines; asserted by tests/test_text.py::test_struct_pass_engines)
+    import polars as _pl
+except ImportError:  # pragma: no cover - polars is a baked-in dependency
+    _pl = None
+
+
+def _strip_structural(s: pa.Array | pa.ChunkedArray):
+    if _pl is not None:
+        out = _pl.from_arrow(s).str.replace_all(_STRUCT_RE, " ").to_arrow()
+        if isinstance(out, pa.ChunkedArray):
+            out = out.combine_chunks()
+        if out.type != pa.string():
+            out = out.cast(pa.string())
+        return out
+    return pc.replace_substring_regex(s, pattern=_STRUCT_RE, replacement=" ")
+
 
 def extract_text(html: pa.ChunkedArray | pa.Array) -> pa.Array | pa.ChunkedArray:
     """binary/string html column → extracted-text string column (null-safe).
@@ -49,13 +67,13 @@ def extract_text(html: pa.ChunkedArray | pa.Array) -> pa.Array | pa.ChunkedArray
     s = html
     if pa.types.is_binary(s.type) or pa.types.is_large_binary(s.type):
         s = pc.cast(s, pa.string())
-    s = pc.replace_substring_regex(s, pattern=_STRUCT_RE, replacement=" ")
+    chunked_in = isinstance(s, pa.ChunkedArray)
+    s = _strip_structural(s)
     # Entity decode only touches rows that still contain "&" after tag
     # stripping (href/attr ampersands are already gone) — typically a small
     # minority, so gather → 6 replaces on the subset → scatter beats six
     # full-column scans. Equivalent output either way.
-    chunked_in = isinstance(s, pa.ChunkedArray)
-    if chunked_in:
+    if isinstance(s, pa.ChunkedArray):
         s = s.combine_chunks()
     mask = pc.fill_null(pc.match_substring(s, "&"), False)
     n_amp = pc.sum(mask).as_py() or 0

@@ -36,6 +36,20 @@ worker re-creates byte-identical sub-tables; the merge kernel is
 deterministic (stages/merge.py); the round publishes nothing until the
 manifest commit. Reference analogue: per-partition import runs are the
 all-or-nothing retry unit (`radiant/dags/import_part.py`).
+
+Partitioning assumptions (the knobs this operator relies on):
+- every row of a key lands in exactly one bucket (``hash(key) % B``), so
+  any per-key kernel decomposes exactly over buckets;
+- ONE bucket's rows (both sides, for joins) must fit a worker's heap —
+  ``n_buckets`` / the 64 MB-per-bucket sizing is the skew knob; salt hot
+  keys upstream (state/partitioner.py) when a single key exceeds it;
+- driver metadata is O(tasks × buckets) ObjectRefs. At the defaults
+  (tasks ≤ 2·CPUs, buckets sized by bytes) that is thousands of refs per
+  exchange; for exchanges that would need >10⁶ refs (≫100 TB in one
+  round), run the exchange in key-range shards or add a second level
+  (split → combine per worker → split), trading one extra copy for a
+  √N-factor fewer refs. Block-count-based chunking assumes roughly
+  equal-sized input blocks (true for row-group-granular reads).
 """
 
 from __future__ import annotations

@@ -39,3 +39,33 @@ def test_chunked_and_large_batch():
     assert len(out) == 30
     flat = out.combine_chunks() if isinstance(out, pa.ChunkedArray) else out
     assert set(flat.to_pylist()) == {"a"}
+
+
+def test_struct_pass_engines():
+    """The polars fast path of the structural strip must be byte-identical
+    to the pyarrow/RE2 reference on adversarial html shapes."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from radiant_portal_pipeline_ray.functions import text as T
+
+    cases = pa.array(
+        [
+            "<html><body><p>plain</p></body></html>",
+            "<script>var a = '<p>not text</p>';</script>visible",
+            "<SCRIPT a=b>x</ScRiPt>after",
+            "<style media='x'>.c{color:red}</style>styled",
+            "<!-- a <script>inside comment</script> -->kept",
+            "a < b not a tag end > c",   # lone angle brackets
+            "<p\nmultiline\nattr='v'>body</p>",
+            "nested &amp;lt; entity",
+            "unclosed <script>never ends...",
+            "",
+            None,
+            "<!--unterminated comment",
+        ],
+        type=pa.string(),
+    )
+    ref = pc.replace_substring_regex(cases, pattern=T._STRUCT_RE, replacement=" ")
+    got = T._strip_structural(cases)
+    assert ref.equals(got if isinstance(got, pa.Array) else got.combine_chunks())
