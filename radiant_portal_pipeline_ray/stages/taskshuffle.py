@@ -113,7 +113,13 @@ def split_task(
     for p, rg in units:
         by_file.setdefault(p, []).append(rg)
 
-    outs: list[pa.Table] = []
+    # bucket per ROW GROUP, concat per bucket at the end: peak heap is one
+    # row group's working copies plus the (inevitable) accumulated output —
+    # never a whole-chunk concat+argsort (3-4x chunk bytes on a fat chunk,
+    # e.g. the 2-CPU leg where one task owns 16 files)
+    per_bucket: list[list[pa.Table]] = [[] for _ in range(n_buckets)]
+    events = 0
+    parts_seen: set[int] = set()
     for p, rgs in by_file.items():
         pf = pq.ParquetFile(p)
         md = pf.metadata
@@ -134,29 +140,30 @@ def split_task(
                 rgs = kept
         for rg in rgs:
             t = transform(pf.read_row_group(rg))
-            if t.num_rows:
-                outs.append(t)
+            if not t.num_rows:
+                continue
+            events += t.num_rows
+            parts = t.column("part").to_numpy(zero_copy_only=False)
+            bucket = parts % n_buckets
+            order = np.argsort(bucket, kind="stable")
+            ts = t.take(pa.array(order))
+            bs = bucket[order]
+            bounds = np.searchsorted(bs, np.arange(n_buckets + 1))
+            for b in range(n_buckets):
+                lo, hi = int(bounds[b]), int(bounds[b + 1])
+                if hi > lo:
+                    per_bucket[b].append(ts.slice(lo, hi - lo))
+            parts_seen.update(np.unique(parts).astype(int).tolist())
 
-    if not outs:
+    if not events:
         return tuple([{"events": 0, "parts": []}] + [None] * n_buckets)
-
-    t = pa.concat_tables(outs, promote_options="permissive").combine_chunks()
-    parts = t.column("part").to_numpy(zero_copy_only=False)
-    bucket = parts % n_buckets
-    # one bucket-sort copy, then zero-copy slices (a per-bucket filter()
-    # would rescan the full table n_buckets times)
-    order = np.argsort(bucket, kind="stable")
-    t_sorted = t.take(pa.array(order)).combine_chunks()
-    bs = bucket[order]
-    bounds = np.searchsorted(bs, np.arange(n_buckets + 1))
-    buckets: list[pa.Table | None] = []
-    for b in range(n_buckets):
-        lo, hi = int(bounds[b]), int(bounds[b + 1])
-        buckets.append(t_sorted.slice(lo, hi - lo) if hi > lo else None)
-    stats = {
-        "events": t.num_rows,
-        "parts": np.unique(parts).astype(int).tolist(),
-    }
+    buckets: list[pa.Table | None] = [
+        pa.concat_tables(bl, promote_options="permissive").combine_chunks()
+        if bl
+        else None
+        for bl in per_bucket
+    ]
+    stats = {"events": events, "parts": sorted(parts_seen)}
     return tuple([stats] + buckets)
 
 
