@@ -162,3 +162,87 @@ def t_fingerprints(sf_dir: str):
         FingerprintStage(), batch_format="pyarrow"
     )
     return ds.select_columns(["doc_id", "fingerprint"]).sort("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Data mixing: stratified per-language quota sampling. A training-data
+# pipeline caps each language's contribution to the mix; the deterministic
+# choice is "lowest md5(doc_id) first" so the sample is stable across runs,
+# cluster sizes and resumes (the same SQL-reproducible md5 trick as the
+# minhash oracle). Distributed shape: per-batch top-k prune → keyed task
+# shuffle → per-bucket final pick (stages/aggregates.topk_per_key).
+# ---------------------------------------------------------------------------
+@_register(
+    "t_mix_language_quota",
+    """
+    SELECT lang, doc_id
+    FROM (
+      SELECT lang, doc_id,
+             CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 16)
+                  AS UBIGINT) AS h
+      FROM documents
+    )
+    QUALIFY row_number() OVER (PARTITION BY lang ORDER BY h, doc_id) <= 40
+    ORDER BY lang, doc_id
+    """,
+)
+def t_mix_language_quota(sf_dir: str, quota: int = 40):
+    import numpy as np
+    import pyarrow.compute as pc
+
+    from radiant_portal_pipeline_ray.stages.aggregates import topk_per_key
+    from radiant_portal_pipeline_ray.stages.dedup import md5_hash64
+
+    docs = _docs(sf_dir, ["lang", "doc_id"])
+
+    def add_hash(b: pa.Table) -> pa.Table:
+        ids = pc.cast(b.column("doc_id"), pa.string())
+        hu = md5_hash64(ids)  # uint64, same value as the SQL UBIGINT
+        # arrow sort has no uint64-over-int64 reinterpretation: flip the
+        # sign bit so int64 ascending order == the oracle's UBIGINT order
+        h_u = (hu ^ np.uint64(1 << 63)).view(np.int64)
+        return b.append_column(pa.field("h_u", pa.int64()), pa.array(h_u))
+
+    picked = topk_per_key(
+        docs.map_batches(add_hash, batch_format="pyarrow"),
+        ["lang"],
+        [("h_u", "ascending"), ("doc_id", "ascending")],
+        k=quota,
+    )
+    return picked.select_columns(["lang", "doc_id"]).sort(["lang", "doc_id"])
+
+
+# ---------------------------------------------------------------------------
+# Deterministic hash sampling (rate-based): the stable Bernoulli cousin of
+# the quota mix above — keep a doc iff md5(doc_id) % 100 < rate. Same subset
+# on every run, any cluster size, any resume; embarrassingly parallel (pure
+# map_batches filter, no shuffle at all).
+# ---------------------------------------------------------------------------
+@_register(
+    "t_hash_sample",
+    """
+    SELECT doc_id, lang
+    FROM (
+      SELECT doc_id, lang,
+             CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 16)
+                  AS UBIGINT) AS h
+      FROM documents
+    )
+    WHERE h % 100 < 10
+    ORDER BY doc_id
+    """,
+)
+def t_hash_sample(sf_dir: str, rate_pct: int = 10):
+    import numpy as np
+    import pyarrow.compute as pc
+
+    from radiant_portal_pipeline_ray.stages.dedup import md5_hash64
+
+    docs = _docs(sf_dir, ["doc_id", "lang"])
+
+    def sample(b: pa.Table) -> pa.Table:
+        ids = pc.cast(b.column("doc_id"), pa.string())
+        keep = (md5_hash64(ids) % np.uint64(100)) < np.uint64(rate_pct)
+        return b.filter(pa.array(keep))
+
+    return docs.map_batches(sample, batch_format="pyarrow").sort("doc_id")
