@@ -169,6 +169,7 @@ def run_bench() -> dict:
             "queries": {},
             "sf": sf_dir,
             "replay_runs_sec": [round(r[0], 3) for r in replay_runs],
+            "aggregation": f"min-of-{len(replay_runs)}",
             "num_cpus": _num_cpus(),
         }
         ray.shutdown()
@@ -213,6 +214,11 @@ def run_bench() -> dict:
         "queries": qtimes,
         "sf": sf_dir,
         "replay_runs_sec": [round(r[0], 3) for r in replay_runs],
+        # "value" and each queries[...] entry are the MIN over repeats (see
+        # replay_runs_sec for all runs) — older baselines before r3 were
+        # single-run; compare accordingly
+        "aggregation": f"min-of-{len(replay_runs)}",
+        "query_aggregation": f"min-of-{max(1, q_reps)}",
         "num_cpus": _num_cpus(),
     }
     ray.shutdown()

@@ -5,7 +5,7 @@ contract). Subcommands mirror the reference's operational surface
 (import-part run / maintenance / data-QA,
 `radiant/dags/import_radiant.py`, `radiant/dags/data_integrity_starrocks.py`):
 
-    apply    --lake L --changelog DIR_OR_FILES [--n-parts N] [--exchange sort|actor]
+    apply    --lake L --changelog DIR_OR_FILES [--n-parts N] [--exchange task|sort|actor]
     compact  --lake L [--min-files K] [--purge-tombstones]
     gc       --lake L [--keep-versions K] [--staging-age-s S]
     qa       --lake L | --tenant-root D [--tenant T]
@@ -65,7 +65,7 @@ def main(argv: list[str] | None = None) -> int:
     _tenant_args(ap)
     ap.add_argument("--changelog", required=True, nargs="+")
     ap.add_argument("--n-parts", type=int, default=None)
-    ap.add_argument("--exchange", choices=["sort", "actor"], default=None)
+    ap.add_argument("--exchange", choices=["task", "sort", "actor"], default=None)
 
     cp = sub.add_parser("compact", help="compact partitions / purge tombstones")
     _tenant_args(cp)

@@ -515,8 +515,10 @@ class CdcEngine:
         from radiant_portal_pipeline_ray.stages.taskshuffle import (
             chunk_units,
             enumerate_units,
+            fan_subsplit,
             merge_bucket_task,
             split_task,
+            two_level_plan,
         )
 
         cfg = self.cfg
@@ -554,19 +556,48 @@ class CdcEngine:
         # under the snapshot caster (their routing is changing)
         units = enumerate_units(paths, file_metas)
         chunks = chunk_units(units, 2 * cpus)
-        task = split_task.options(num_returns=1 + n_buckets)
+        mig_chunks: list = []
+        if mig_files:
+            mig_chunks = chunk_units(enumerate_units(mig_files), 2 * cpus)
+        # second-level split when the (tasks × buckets) ref matrix would
+        # exceed the driver budget: split tasks emit G group objects, one
+        # subsplit task per group fans them to the final buckets
+        delta_bytes = 0
+        for p in paths:
+            md = file_metas.get(p) if file_metas else None
+            if md is not None:
+                delta_bytes += sum(
+                    md.row_group(i).total_byte_size
+                    for i in range(md.num_row_groups)
+                )
+        delta_bytes = delta_bytes or (len(units) << 24)
+        plan = two_level_plan(
+            len(chunks) + len(mig_chunks), n_buckets, delta_bytes
+        )
+        n_groups = 0
+        split_buckets = n_buckets
+        if plan is not None:
+            n_groups, n_buckets = plan
+            split_buckets = n_groups
+        task = split_task.options(num_returns=1 + split_buckets)
         min_lsn = min_wm if current else None
         returns = [
-            task.remote(ch, normalizer, n_buckets, min_lsn) for ch in chunks
+            task.remote(ch, normalizer, split_buckets, min_lsn) for ch in chunks
         ]
-        if mig_files:
+        if mig_chunks:
             caster = make_snapshot_caster(
                 union_schema, cfg.n_parts, partitioner.salt_map
             )
-            for ch in chunk_units(enumerate_units(mig_files), 2 * cpus):
-                returns.append(task.remote(ch, caster, n_buckets, None))
+            for ch in mig_chunks:
+                returns.append(task.remote(ch, caster, split_buckets, None))
         stats_refs = [r[0] for r in returns]
-        bucket_refs = [list(r[1:]) for r in returns]
+        if n_groups:
+            bucket_cols = fan_subsplit(
+                [list(r[1:]) for r in returns], None, n_buckets, n_groups
+            )
+        else:
+            mat = [list(r[1:]) for r in returns]
+            bucket_cols = [[row[b] for row in mat] for b in range(n_buckets)]
         _lap("plan")
 
         events_pushed = 0
@@ -620,14 +651,14 @@ class CdcEngine:
         merge_refs = [
             merge_bucket_task.remote(
                 kernel,
-                [row[b] for row in bucket_refs],
+                bucket_cols[b],
                 sorted(extra.get(b, [])),
             )
             for b in active
         ]
         meta_rows = [m for sub in ray.get(merge_refs) for m in sub]
         _lap("merge")
-        del bucket_refs, returns, merge_refs
+        del bucket_cols, returns, merge_refs
         gc.collect()
         return self._post_merge(
             t0,

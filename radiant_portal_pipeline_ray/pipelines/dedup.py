@@ -928,13 +928,41 @@ def connected_components_distributed(
             )
 
         folded = folded.map_batches(fold, batch_format="pyarrow").materialize()
-        changed = folded.sum("__chg")
+        changed = int(folded.sum("__chg") or 0)
         labels = folded.drop_columns(["__chg"]).materialize()
         if not changed:
+            # hook fixpoint: label(n) ≤ label(m) across every edge in both
+            # directions ⇒ labels constant per component ⇒ correct reps
             break
-    else:  # pragma: no cover
-        logger.warning(
-            "connected_components: hit max_iters=%d before fixpoint", max_iters
+
+        # pointer jump: label ← min(label, label(label)). Labels are always
+        # node ids present in the table, so a self-join collapses label
+        # chains by doubling each round — convergence scales with
+        # log(diameter) instead of diameter (chain-shaped graphs were the
+        # silent-wrong-answer case at max_iters).
+        as_node = labels.map_batches(
+            lambda b: b.rename_columns(["j_node", "j_label"]),
+            batch_format="pyarrow",
+        )
+        jumped = hash_partitioned_join(
+            labels, as_node, left_on="label", right_on="j_node", how="left"
+        )
+
+        def jump_fold(b: pa.Table) -> pa.Table:
+            lbl = b.column("label").to_numpy(zero_copy_only=False)
+            j = pc.fill_null(
+                b.column("j_label"), np.iinfo(np.int64).max
+            ).to_numpy(zero_copy_only=False)
+            new = np.minimum(lbl, j)
+            return pa.table(
+                {"node": b.column("node"), "label": pa.array(new, type=pa.int64())}
+            )
+
+        labels = jumped.map_batches(jump_fold, batch_format="pyarrow").materialize()
+    else:
+        raise RuntimeError(
+            f"connected_components: no fixpoint after max_iters={max_iters} "
+            "rounds — raise max_iters (labels would be silently wrong)"
         )
     return labels.map_batches(
         lambda b: b.rename_columns(["doc_id", "rep_doc_id"]),

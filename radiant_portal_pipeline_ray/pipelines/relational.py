@@ -436,7 +436,7 @@ def q_union_distinct_custkeys(sf_dir: str):
         64,
         bucket_count,
     )
-    n = int(counts.sum("c"))
+    n = int(counts.sum("c") or 0)  # sum() is None on a zero-block exchange
     return pa.table({"n_keys": pa.array([n], type=pa.int64())})
 
 

@@ -195,7 +195,7 @@ def unique_key_global(ds: Dataset, col: str) -> dict:
         )
         return pa.table({"dups": pa.array([n_dup], type=pa.int64())})
 
-    dup = int(exchange_group(ds, [col], 64, dup_count).sum("dups"))
+    dup = int(exchange_group(ds, [col], 64, dup_count).sum("dups") or 0)
     return {"ok": dup == 0, "detail": f"duplicate_keys={dup}"}
 
 

@@ -43,16 +43,20 @@ Partitioning assumptions (the knobs this operator relies on):
 - ONE bucket's rows (both sides, for joins) must fit a worker's heap —
   ``n_buckets`` / the 64 MB-per-bucket sizing is the skew knob; salt hot
   keys upstream (state/partitioner.py) when a single key exceeds it;
-- driver metadata is O(tasks × buckets) ObjectRefs. At the defaults
-  (tasks ≤ 2·CPUs, buckets sized by bytes) that is thousands of refs per
-  exchange; for exchanges that would need >10⁶ refs (≫100 TB in one
-  round), run the exchange in key-range shards or add a second level
-  (split → combine per worker → split), trading one extra copy for a
-  √N-factor fewer refs. Block-count-based chunking assumes roughly
-  equal-sized input blocks (true for row-group-granular reads).
+- driver metadata is O(tasks × buckets) ObjectRefs at level one. When
+  (tasks × buckets) exceeds ``_REF_BUDGET`` the exchange automatically
+  adds a SECOND level: level-1 tasks split into G groups (G | B, so the
+  modulo hashes agree), one ``subsplit_task`` per group re-splits its
+  group's sub-tables into the B/G final buckets. Driver refs drop from
+  T×B to T×G + B (G ≈ √B, floored by a per-group heap bound) at the cost
+  of one extra plasma copy of the exchanged bytes. Block-count-based
+  chunking assumes roughly equal-sized input blocks (true for
+  row-group-granular reads).
 """
 
 from __future__ import annotations
+
+import os
 
 import numpy as np
 import pyarrow as pa
@@ -256,12 +260,99 @@ _TARGET_BUCKET_BYTES = 64 << 20
 #: partials / pruned rows only — still a single vectorized arrow call)
 _DRIVER_LOCAL_BYTES = 16 << 20
 
+#: driver ObjectRef budget per exchange: above this the split runs in two
+#: levels (split → per-group subsplit). Env-overridable; tests monkeypatch
+#: the module attribute to force the two-level path at toy scale.
+_REF_BUDGET = int(os.environ.get("GRAFT_EXCHANGE_REF_BUDGET", "32768"))
+
+#: a level-2 subsplit task holds one whole GROUP (B/G buckets) in heap;
+#: groups are sized so that never exceeds this many bytes.
+_MAX_GROUP_BYTES = 1 << 30
+
+#: introspection for tests/benchmarks: plan of the most recent split
+#: ({"levels": 1|2, "n_tasks": T, "n_buckets": B, "n_groups": G,
+#:   "driver_refs": peak refs held}).
+last_split_plan: dict = {}
+
+
+def two_level_plan(
+    n_tasks: int, n_buckets: int, total_bytes: int
+) -> tuple[int, int] | None:
+    """Decide whether a (n_tasks × n_buckets) exchange needs a second split
+    level; returns ``(n_groups, adjusted_n_buckets)`` (G | B) or None for
+    single-level. G is ~√B, floored so one group's bytes fit a worker."""
+    if n_tasks * n_buckets <= _REF_BUDGET or n_buckets < 4:
+        return None
+    g_mem = -(-total_bytes // _MAX_GROUP_BYTES)
+    g_sqrt = int(np.ceil(np.sqrt(n_buckets)))
+    want = max(1, min(max(g_mem, g_sqrt), n_buckets))
+    # power-of-two group count: divides any power-of-two bucket count, so
+    # the two sides of an exchange_join can pick different G for the SAME
+    # final B (final bucket = hash % B on both sides either way)
+    n_groups = 1 << (want - 1).bit_length()
+    n_groups = min(n_groups, n_buckets)
+    n_buckets = -(-n_buckets // n_groups) * n_groups
+    return n_groups, n_buckets
+
+
+@ray.remote
+def subsplit_task(refs: list, keys: list[str] | None, n_buckets: int, n_groups: int):
+    """Second exchange level: one GROUP's level-1 sub-tables → that group's
+    final buckets. Level 1 grouped rows by ``hash % G``; because G | B and
+    both levels share the hash, every row here satisfies ``bucket % G ==
+    g`` and the local index is ``bucket // G``. ``keys=None`` selects the
+    CDC part-modulo bucketing (``bucket = part % B``)."""
+    n_local = n_buckets // n_groups
+    tabs = [t for t in ray.get(list(refs)) if t is not None and t.num_rows]
+    if not tabs:
+        return tuple([None] * n_local) if n_local > 1 else None
+    t = pa.concat_tables(tabs, promote_options="permissive").combine_chunks()
+    if keys is None:
+        parts = t.column("part").to_numpy(zero_copy_only=False)
+        local = ((parts % n_buckets) // n_groups).astype(np.int64)
+    else:
+        local = bucket_ids(t, keys, n_buckets) // n_groups
+    order = np.argsort(local, kind="stable")
+    ts = t.take(pa.array(order)).combine_chunks()
+    ls = local[order]
+    bounds = np.searchsorted(ls, np.arange(n_local + 1))
+    out = [
+        ts.slice(int(bounds[i]), int(bounds[i + 1] - bounds[i]))
+        if bounds[i + 1] > bounds[i]
+        else None
+        for i in range(n_local)
+    ]
+    return tuple(out) if n_local > 1 else out[0]
+
+
+def fan_subsplit(
+    mat: list[list], keys: list[str] | None, n_buckets: int, n_groups: int
+) -> list[list]:
+    """Fan a (task × group) level-1 ref matrix through one subsplit task per
+    group; returns per-final-bucket ref columns (bucket b = g + G·j lives at
+    group g = b % G, local slot j = b // G)."""
+    n_local = n_buckets // n_groups
+    sub = subsplit_task.options(num_returns=n_local) if n_local > 1 else subsplit_task
+    cols: list[list] = [[] for _ in range(n_buckets)]
+    for g in range(n_groups):
+        outs = sub.remote([row[g] for row in mat], keys, n_buckets, n_groups)
+        outs = [outs] if n_local == 1 else list(outs)
+        for j, r in enumerate(outs):
+            cols[g + n_groups * j] = [r]
+    return cols
+
 
 def _split_refs(
     refs: list, keys: list[str], n_buckets: int, total_bytes: int
-) -> list[list]:
-    """Fan a Dataset's block refs through bucket_split_task; returns the
-    (task × bucket) ref matrix."""
+) -> tuple[list[list], int]:
+    """Fan a Dataset's block refs through the (possibly two-level) split;
+    returns ``(per-bucket ref columns, adjusted n_buckets)``. Empty input →
+    empty columns (downstream kernels see typed empty tables)."""
+    global last_split_plan
+    if not refs:
+        last_split_plan = {"levels": 0, "n_tasks": 0, "n_buckets": n_buckets,
+                           "n_groups": 0, "driver_refs": 0}
+        return [[] for _ in range(n_buckets)], n_buckets
     import ray as _ray
 
     cpus = int(_ray.cluster_resources().get("CPU", 8))
@@ -269,19 +360,44 @@ def _split_refs(
     n_tasks = max(1, min(2 * cpus, len(refs), by_size))
     size = -(-len(refs) // n_tasks)
     chunks = [refs[i : i + size] for i in range(0, len(refs), size)]
-    task = bucket_split_task.options(num_returns=n_buckets)
+    plan = two_level_plan(len(chunks), n_buckets, total_bytes)
+    if plan is not None:
+        n_groups, n_buckets = plan
+        task = bucket_split_task.options(num_returns=n_groups) if n_groups > 1 else bucket_split_task
+        mat = [task.remote(ch, keys, n_groups) for ch in chunks]
+        if n_groups == 1:
+            mat = [[r] for r in mat]
+        else:
+            mat = [list(r) for r in mat]
+        cols = fan_subsplit(mat, keys, n_buckets, n_groups)
+        last_split_plan = {
+            "levels": 2, "n_tasks": len(chunks), "n_buckets": n_buckets,
+            "n_groups": n_groups,
+            "driver_refs": len(chunks) * n_groups + n_buckets,
+        }
+        return cols, n_buckets
+    task = bucket_split_task.options(num_returns=n_buckets) if n_buckets > 1 else bucket_split_task
     mat = [task.remote(ch, keys, n_buckets) for ch in chunks]
     if n_buckets == 1:
-        return [[r] for r in mat]
-    return [list(r) for r in mat]
+        mat = [[r] for r in mat]
+    else:
+        mat = [list(r) for r in mat]
+    last_split_plan = {
+        "levels": 1, "n_tasks": len(chunks), "n_buckets": n_buckets,
+        "n_groups": 0, "driver_refs": len(chunks) * n_buckets,
+    }
+    return [[row[b] for row in mat] for b in range(n_buckets)], n_buckets
 
 
 def _clamp_buckets(n_buckets: int, total_bytes: int) -> int:
     """Small inputs don't amortize per-bucket task overhead — scale the
     bucket count with the exchanged byte volume (the caller's ``n_buckets``
-    stays the ceiling: the partitioning-assumption knob at real scale)."""
+    stays the ceiling: the partitioning-assumption knob at real scale).
+    Rounded down to a power of two so two-level group counts divide it and
+    the two sides of a join agree on the final B."""
     by_size = max(4, -(-total_bytes // _TARGET_BUCKET_BYTES))
-    return max(1, min(n_buckets, by_size))
+    v = max(1, min(n_buckets, by_size))
+    return 1 << (v.bit_length() - 1)
 
 
 def exchange_group(ds, keys: list[str], n_buckets: int, fn):
@@ -309,10 +425,9 @@ def exchange_group(ds, keys: list[str], n_buckets: int, fn):
         t = _concat_or_empty(_ray.get(refs), schema)
         return rd.from_arrow(fn(t))
     n_buckets = _clamp_buckets(n_buckets, nbytes)
-    mat = _split_refs(refs, keys, n_buckets, nbytes)
+    cols, n_buckets = _split_refs(refs, keys, n_buckets, nbytes)
     out = [
-        bucket_apply_task.remote(fn, [row[b] for row in mat], schema)
-        for b in range(n_buckets)
+        bucket_apply_task.remote(fn, cols[b], schema) for b in range(n_buckets)
     ]
     return rd.from_arrow_refs(out)
 
@@ -331,24 +446,30 @@ def exchange_join(
     as empty tables with the correct schema so outer joins stay exact."""
     import ray.data as rd
 
-    l_schema = pa.schema(left.schema(fetch_if_missing=True).base_schema)
-    r_schema = pa.schema(right.schema(fetch_if_missing=True).base_schema)
+    l_sch = left.schema(fetch_if_missing=True)
+    r_sch = right.schema(fetch_if_missing=True)
+    if l_sch is None or r_sch is None:
+        # a zero-BLOCK side (e.g. from_arrow_refs([])) carries no schema, so
+        # a typed empty bucket table can't be synthesized for the kernel;
+        # fail with the contract instead of AttributeError on .base_schema
+        side = "left" if l_sch is None else "right"
+        raise ValueError(
+            f"exchange_join: {side} side has zero blocks and no schema; "
+            "pass a dataset with at least one (possibly empty) typed block"
+        )
+    l_schema = pa.schema(l_sch.base_schema)
+    r_schema = pa.schema(r_sch.base_schema)
     left, right = left.materialize(), right.materialize()
     l_refs = left.to_arrow_refs()
     r_refs = right.to_arrow_refs()
     l_bytes = int(left.size_bytes() or 0)
     r_bytes = int(right.size_bytes() or 0)
     n_buckets = _clamp_buckets(n_buckets, max(l_bytes, r_bytes))
-    l_mat = _split_refs(l_refs, left_keys, n_buckets, l_bytes)
-    r_mat = _split_refs(r_refs, right_keys, n_buckets, r_bytes)
+    l_cols, nb_l = _split_refs(l_refs, left_keys, n_buckets, l_bytes)
+    r_cols, nb_r = _split_refs(r_refs, right_keys, n_buckets, r_bytes)
+    assert nb_l == nb_r == n_buckets  # pow2 B is invariant under two-level G
     out = [
-        bucket_join_task.remote(
-            fn,
-            [row[b] for row in l_mat],
-            [row[b] for row in r_mat],
-            l_schema,
-            r_schema,
-        )
+        bucket_join_task.remote(fn, l_cols[b], r_cols[b], l_schema, r_schema)
         for b in range(n_buckets)
     ]
     return rd.from_arrow_refs(out)
