@@ -337,7 +337,9 @@ class CdcEngine:
                 union_schema, cfg.n_parts, partitioner.salt_map
             )
             old_ds = rd.read_parquet(
-                old_files, override_num_blocks=read_blocks
+                old_files,
+                override_num_blocks=read_blocks,
+                filesystem=self.lake.pyarrow_fs(),
             ).map_batches(
                 caster, batch_format="pyarrow", batch_size=cfg.normalize_batch_size
             )
@@ -363,6 +365,7 @@ class CdcEngine:
             compression=cfg.compression,
             local_carry_files=local_carry,
             union_schema=union_schema,
+            filesystem=self.lake.filesystem,
         )
         meta_ds = combined.groupby("part").map_groups(writer, batch_format="pyarrow")
         meta_rows = meta_ds.take_all()
@@ -556,9 +559,12 @@ class CdcEngine:
         # under the snapshot caster (their routing is changing)
         units = enumerate_units(paths, file_metas)
         chunks = chunk_units(units, 2 * cpus)
+        lake_fs = self.lake.filesystem
         mig_chunks: list = []
         if mig_files:
-            mig_chunks = chunk_units(enumerate_units(mig_files), 2 * cpus)
+            mig_chunks = chunk_units(
+                enumerate_units(mig_files, filesystem=lake_fs), 2 * cpus
+            )
         # second-level split when the (tasks × buckets) ref matrix would
         # exceed the driver budget: split tasks emit G group objects, one
         # subsplit task per group fans them to the final buckets
@@ -589,7 +595,9 @@ class CdcEngine:
                 union_schema, cfg.n_parts, partitioner.salt_map
             )
             for ch in mig_chunks:
-                returns.append(task.remote(ch, caster, split_buckets, None))
+                returns.append(
+                    task.remote(ch, caster, split_buckets, None, lake_fs)
+                )
         stats_refs = [r[0] for r in returns]
         if n_groups:
             bucket_cols = fan_subsplit(
@@ -638,6 +646,7 @@ class CdcEngine:
             compression=cfg.compression,
             local_carry_files=local_carry,
             union_schema=union_schema,
+            filesystem=lake_fs,
         )
         # changed parts that shuffled no rows (local-carry-only partitions of
         # a migrating domain) still need a merge pass from an empty delta
@@ -756,7 +765,11 @@ class CdcEngine:
                     union_schema, cfg.n_parts, partitioner.salt_map
                 )
                 st_ds = build_exchange(
-                    rd.read_parquet(mig_files, override_num_blocks=read_blocks),
+                    rd.read_parquet(
+                        mig_files,
+                        override_num_blocks=read_blocks,
+                        filesystem=self.lake.pyarrow_fs(),
+                    ),
                     caster,
                     shards,
                     n_shards,
@@ -802,6 +815,7 @@ class CdcEngine:
                 compression=cfg.compression,
                 local_carry_files=local_carry,
                 union_schema=union_schema,
+                filesystem=self.lake.filesystem,
             )
             # changed parts that never pushed a row (e.g. local-carry-only
             # partitions of a migrating domain) still need a merge pass
@@ -941,11 +955,14 @@ class CdcEngine:
             if files:
                 # cross-table exclusivity (A8 analogue): a url must never be
                 # both live and tombstoned in one committed snapshot
+                pafs = self.lake.pyarrow_fs()
                 live = rd.read_parquet(
-                    files, columns=["url"], filter=~pc.field("deleted")
+                    files, columns=["url"], filter=~pc.field("deleted"),
+                    filesystem=pafs,
                 )
                 tomb = rd.read_parquet(
-                    files, columns=["url"], filter=pc.field("deleted")
+                    files, columns=["url"], filter=pc.field("deleted"),
+                    filesystem=pafs,
                 )
                 ce = cross_exclusive(live, tomb, "url")
                 qa["checks"]["live_tombstone_exclusive"] = ce
@@ -1158,7 +1175,10 @@ class CdcEngine:
             )
             return rd.from_arrow(empty)
         filt = None if include_tombstones else ~pc.field("deleted")
-        return rd.read_parquet(files, columns=columns, filter=filt)
+        return rd.read_parquet(
+            files, columns=columns, filter=filt,
+            filesystem=self.lake.pyarrow_fs(),
+        )
 
     def snapshot_table(
         self,
@@ -1181,7 +1201,10 @@ class CdcEngine:
         tables = []
         for st in man.partitions.values():
             for f in st.files:
-                t = pq.read_table(self.lake.abspath(f), columns=columns)
+                t = pq.read_table(
+                    self.lake.abspath(f), columns=columns,
+                    filesystem=self.lake.filesystem,
+                )
                 tables.append(t)
         out = pa.concat_tables(tables, promote_options="permissive")
         if not include_tombstones:
@@ -1190,7 +1213,10 @@ class CdcEngine:
             else:
                 mask = pa.concat_tables(
                     [
-                        pq.read_table(self.lake.abspath(f), columns=["deleted"])
+                        pq.read_table(
+                            self.lake.abspath(f), columns=["deleted"],
+                            filesystem=self.lake.filesystem,
+                        )
                         for st in man.partitions.values()
                         for f in st.files
                     ]

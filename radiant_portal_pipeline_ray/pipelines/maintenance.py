@@ -66,7 +66,7 @@ def _max_warc_ts_us(lake: Lake, manifest: Manifest) -> int | None:
     for st in manifest.partitions.values():
         for rel in st.files:
             path = lake.abspath(rel)
-            md = pq.ParquetFile(path).metadata
+            md = pq.read_metadata(path, filesystem=lake.filesystem)
             # pa.Schema.get_field_index returns -1 for a missing column (it
             # never raises); a -1 would silently read the LAST column's stats
             ci = md.schema.to_arrow_schema().get_field_index("warc_ts")
@@ -82,7 +82,9 @@ def _max_warc_ts_us(lake: Lake, manifest: Manifest) -> int | None:
                     best = v if best is None else max(best, int(v))
                     got = True
             if not got:
-                col = pq.read_table(path, columns=["warc_ts"]).column("warc_ts")
+                col = pq.read_table(
+                    path, columns=["warc_ts"], filesystem=lake.filesystem
+                ).column("warc_ts")
                 mx = pc.max(col).as_py()
                 if mx is not None:
                     v = int(mx.timestamp() * 1_000_000)
@@ -97,6 +99,7 @@ def _make_rewriter(
     target_rows_per_file: int,
     compression: str,
     purge_horizon_us: int | None,
+    filesystem=None,
 ):
     def rewrite(group: pa.Table) -> pa.Table:
         part = group.column("part")[0].as_py()
@@ -115,16 +118,28 @@ def _make_rewriter(
         tomb = int(
             pc.sum(pc.fill_null(out.column("deleted"), False)).as_py() or 0
         )
-        part_dir = os.path.join(staging_dir, f"part={part}")
-        os.makedirs(part_dir, exist_ok=True)
+        if filesystem is None:
+            part_dir = os.path.join(staging_dir, f"part={part}")
+            os.makedirs(part_dir, exist_ok=True)
+        else:
+            part_dir = f"{staging_dir}/part={part}"
+            filesystem.makedirs(part_dir, exist_ok=True)
         files, total = [], 0
         n_files = max(1, -(-out.num_rows // target_rows_per_file)) if out.num_rows else 0
         for i in range(n_files):
             chunk = out.slice(i * target_rows_per_file, target_rows_per_file)
-            path = os.path.join(part_dir, f"{txn_id}-{part}-{i:04d}.parquet")
-            pq.write_table(chunk, path, compression=compression)
-            files.append(os.path.basename(path))
-            total += os.path.getsize(path)
+            fn = f"{txn_id}-{part}-{i:04d}.parquet"
+            if filesystem is None:
+                path = os.path.join(part_dir, fn)
+                pq.write_table(chunk, path, compression=compression)
+                total += os.path.getsize(path)
+            else:
+                path = f"{part_dir}/{fn}"
+                pq.write_table(
+                    chunk, path, compression=compression, filesystem=filesystem
+                )
+                total += int(filesystem.info(path)["size"])
+            files.append(fn)
         return pa.Table.from_pydict(
             {
                 "part": [part],
@@ -187,6 +202,7 @@ def compact(
         cfg.target_rows_per_file,
         cfg.compression,
         purge_horizon_us,
+        filesystem=lake.filesystem,
     )
     from radiant_portal_pipeline_ray.stages.taskshuffle import exchange_group
 
@@ -212,7 +228,10 @@ def compact(
         return pa.concat_tables(metas)
 
     meta_rows = exchange_group(
-        rd.read_parquet(files), ["part"], 64, rewrite_bucket
+        rd.read_parquet(files, filesystem=lake.pyarrow_fs()),
+        ["part"],
+        64,
+        rewrite_bucket,
     ).take_all()
     lake.promote_staged_files(txn_id)
 

@@ -73,6 +73,7 @@ class MergeKernel:
         compression: str,
         local_carry_files: dict[int, list[str]] | None = None,
         union_schema: pa.Schema | None = None,
+        filesystem=None,
     ):
         self.txn_id = txn_id
         self.staging_dir = staging_dir
@@ -83,6 +84,11 @@ class MergeKernel:
         self.compression = compression
         self.local_carry_files = dict(local_carry_files or {})
         self.union_schema = union_schema
+        #: fsspec filesystem for an object-store lake (None = local paths).
+        #: pyarrow wraps it natively in read_table/write_table; the kernel
+        #: ships to merge tasks, so the fs must be picklable (LocalFileSystem
+        #: and real object-store fs classes are; memory:// is driver-only).
+        self.filesystem = filesystem
 
     def merge_partition(self, group: pa.Table, part: int) -> dict:
         """One partition's event rows (+ shuffled carried rows, if routing is
@@ -96,13 +102,16 @@ class MergeKernel:
             # task would become the round's straggler. Per-file (not
             # multi-file-dataset) reads keep permissive schema promotion for
             # files written before a schema evolution.
+            def _read(p):
+                return pq.read_table(p, filesystem=self.filesystem)
+
             if len(carry) > 1:
                 from concurrent.futures import ThreadPoolExecutor
 
                 with ThreadPoolExecutor(min(4, len(carry))) as ex:
-                    tables = list(ex.map(pq.read_table, carry))
+                    tables = list(ex.map(_read, carry))
             else:
-                tables = [pq.read_table(carry[0])]
+                tables = [_read(carry[0])]
             old = pa.concat_tables(tables, promote_options="permissive")
             old = align_table(old, self.union_schema or group.schema)
             n_old = old.num_rows
@@ -251,17 +260,30 @@ class MergeKernel:
         # project to the snapshot schema (drops op) and write staged files
         cols = [live.column(f.name).cast(f.type) for f in self.snapshot_schema]
         out = pa.Table.from_arrays(cols, schema=self.snapshot_schema)
-        part_dir = os.path.join(self.staging_dir, f"part={part}")
-        os.makedirs(part_dir, exist_ok=True)
+        if self.filesystem is None:
+            part_dir = os.path.join(self.staging_dir, f"part={part}")
+            os.makedirs(part_dir, exist_ok=True)
+        else:
+            part_dir = f"{self.staging_dir}/part={part}"
+            self.filesystem.makedirs(part_dir, exist_ok=True)
         files, total_bytes = [], 0
         tpf = self.target_rows_per_file
         n_files = max(1, -(-out.num_rows // tpf)) if out.num_rows else 0
         for i in range(n_files):
             chunk = out.slice(i * tpf, tpf)
-            path = os.path.join(part_dir, f"{self.txn_id}-{part}-{i:04d}.parquet")
-            pq.write_table(chunk, path, compression=self.compression)
-            files.append(os.path.basename(path))
-            total_bytes += os.path.getsize(path)
+            fn = f"{self.txn_id}-{part}-{i:04d}.parquet"
+            if self.filesystem is None:
+                path = os.path.join(part_dir, fn)
+                pq.write_table(chunk, path, compression=self.compression)
+                total_bytes += os.path.getsize(path)
+            else:
+                path = f"{part_dir}/{fn}"
+                pq.write_table(
+                    chunk, path, compression=self.compression,
+                    filesystem=self.filesystem,
+                )
+                total_bytes += int(self.filesystem.info(path)["size"])
+            files.append(fn)
 
         return {
             "part": part,
@@ -293,6 +315,7 @@ def make_merge_writer(
     compression: str,
     local_carry_files: dict[int, list[str]] | None = None,
     union_schema: pa.Schema | None = None,
+    filesystem=None,
 ):
     """Dataset ``groupby(part).map_groups`` wrapper around MergeKernel (the
     sort-exchange path; stages/exchange.py is the streaming path)."""
@@ -306,6 +329,7 @@ def make_merge_writer(
         compression,
         local_carry_files,
         union_schema,
+        filesystem=filesystem,
     )
 
     def merge_group(group: pa.Table) -> pa.Table:

@@ -67,16 +67,19 @@ from radiant_portal_pipeline_ray.stages.merge import MergeKernel
 
 
 def enumerate_units(
-    paths: list[str], metas: dict[str, object] | None = None
+    paths: list[str],
+    metas: dict[str, object] | None = None,
+    filesystem=None,
 ) -> list[tuple[str, int]]:
     """(path, row_group) work units — row-group granularity so a 2-file tail
     round still fans out across the cluster. ``metas`` may carry pre-read
-    ``FileMetaData`` (the apply plan already does one threaded footer pass)."""
+    ``FileMetaData`` (the apply plan already does one threaded footer pass).
+    ``filesystem``: fsspec fs for object-store lake files (None = local)."""
     units: list[tuple[str, int]] = []
     for p in paths:
         md = metas.get(p) if metas else None
         if md is None:
-            md = pq.read_metadata(p)
+            md = pq.read_metadata(p, filesystem=filesystem)
         units.extend((p, rg) for rg in range(md.num_row_groups))
     return units
 
@@ -104,6 +107,7 @@ def split_task(
     transform,
     n_buckets: int,
     min_lsn: int | None,
+    filesystem=None,
 ):
     """Read assigned row groups → transform → split by bucket. Returns
     ``(stats, bucket_0, ..., bucket_{n-1})`` — launch with
@@ -125,7 +129,11 @@ def split_task(
     events = 0
     parts_seen: set[int] = set()
     for p, rgs in by_file.items():
-        pf = pq.ParquetFile(p)
+        pf = (
+            pq.ParquetFile(filesystem.open(p, "rb"))
+            if filesystem is not None
+            else pq.ParquetFile(p)
+        )
         md = pf.metadata
         if min_lsn is not None:
             ci = _lsn_col_index(md)

@@ -11,10 +11,27 @@ A snapshot version is ONE manifest file listing, per partition: data files,
 row/byte counts, watermark lsn, doc-id counter, and lineage records. Commit
 is two-phase: (1) writers stage Parquet under ``_staging/<txn>``; (2) the
 driver moves the files into ``data/`` and publishes
-``manifest-v{K+1}.json`` via fsync + hard-link put-if-absent — the link
-either atomically creates the version or fails with EEXIST, giving CAS
-semantics without any catalog service. Retried commits are idempotent by
-txn-id (a found manifest with our txn_id == success).
+``manifest-v{K+1}.json`` via a put-if-absent that either atomically creates
+the version or reports it taken, giving CAS semantics without any catalog
+service. Retried commits are idempotent by txn-id (a found manifest with
+our txn_id == success).
+
+Two storage backends share that contract:
+
+- **POSIX** (``Lake("/path")``, the default): put-if-absent is fsync +
+  hard-link (EEXIST = loser); promote is ``os.replace`` (atomic rename).
+- **Object store** (``Lake("memory://lake")`` / any fsspec URL, or an
+  explicit ``filesystem=``): uses ONLY object-store-safe primitives — no
+  hard links, no rename-is-atomic assumption, no directory mtimes. Promote
+  is copy-then-delete (idempotent: a file already at the final key is
+  re-referenced, the staged copy discarded); manifest publish is
+  exists-check → put → read-back-verify. On a real S3-class store the put
+  step carries ``If-None-Match: *`` (conditional PUT) so the read-back is
+  a true CAS; fsspec's generic API lacks conditional puts, so this
+  implementation documents the (tiny) verify window instead — same
+  retry-loop semantics either way. Data files are immutable and inert
+  until a manifest references them, so the window only matters for two
+  drivers publishing the SAME version, which the read-back catches.
 
 Reference analogue: Iceberg ``commit_files`` two-phase transaction with a
 20-attempt backoff retry loop (`radiant/tasks/iceberg/utils.py:61-96`),
@@ -156,35 +173,140 @@ class Manifest:
 
 
 class Lake:
-    """Filesystem-backed lake root with manifest CAS commit."""
+    """Lake root with manifest CAS commit — POSIX by default, any fsspec
+    object store via a ``proto://`` root or an explicit ``filesystem``."""
 
-    def __init__(self, root: str):
+    def __init__(self, root: str, filesystem=None):
+        if filesystem is None and "://" in root:
+            import fsspec
+
+            filesystem, root = fsspec.core.url_to_fs(root)
+            if type(filesystem).__name__ == "LocalFileSystem":
+                # fsspec's LocalFileSystem is still POSIX underneath, but
+                # keep it on the object-store code path: a file:// root is
+                # how tests exercise copy-promote / put-verify semantics
+                # cross-process without a real object store.
+                pass
+        #: fsspec AbstractFileSystem, or None for the POSIX fast path
+        self.filesystem = filesystem
         self.root = root
-        self.manifest_dir = os.path.join(root, "manifests")
-        self.data_dir = os.path.join(root, "data")
-        self.staging_root = os.path.join(root, "_staging")
+        join = self._join
+        self.manifest_dir = join(root, "manifests")
+        self.data_dir = join(root, "data")
+        self.staging_root = join(root, "_staging")
         for d in (self.manifest_dir, self.data_dir, self.staging_root):
-            os.makedirs(d, exist_ok=True)
+            self._makedirs(d)
+
+    # -- io primitives (the ONLY fs operations the lake performs) ---------
+    def _join(self, *parts: str) -> str:
+        if self.filesystem is not None:
+            import posixpath
+
+            return posixpath.join(*parts)
+        return os.path.join(*parts)
+
+    def _makedirs(self, path: str) -> None:
+        if self.filesystem is not None:
+            self.filesystem.makedirs(path, exist_ok=True)
+        else:
+            os.makedirs(path, exist_ok=True)
+
+    def _listdir(self, path: str) -> list[str]:
+        if self.filesystem is not None:
+            try:
+                import posixpath
+
+                return sorted(
+                    posixpath.basename(p.rstrip("/"))
+                    for p in self.filesystem.ls(path, detail=False)
+                )
+            except FileNotFoundError:
+                return []
+        try:
+            return sorted(os.listdir(path))
+        except FileNotFoundError:
+            return []
+
+    def _exists(self, path: str) -> bool:
+        if self.filesystem is not None:
+            return self.filesystem.exists(path)
+        return os.path.exists(path)
+
+    def _isdir(self, path: str) -> bool:
+        if self.filesystem is not None:
+            return self.filesystem.isdir(path)
+        return os.path.isdir(path)
+
+    def _mtime(self, path: str) -> float:
+        if self.filesystem is not None:
+            try:
+                return self.filesystem.modified(path).timestamp()
+            except (FileNotFoundError, IsADirectoryError, NotImplementedError):
+                # object stores have no directory mtime; treat a bare
+                # prefix as old so quiescence falls to the per-file checks
+                return 0.0
+        return os.path.getmtime(path)
+
+    def _remove(self, path: str) -> None:
+        if self.filesystem is not None:
+            self.filesystem.rm_file(path)
+        else:
+            os.remove(path)
+
+    def _walk_files(self, path: str) -> list[str]:
+        if self.filesystem is not None:
+            try:
+                return sorted(self.filesystem.find(path))
+            except FileNotFoundError:
+                return []
+        out = []
+        for root_, _, files_ in os.walk(path):
+            out.extend(os.path.join(root_, fn) for fn in files_)
+        return sorted(out)
+
+    def _rmtree(self, path: str) -> None:
+        if self.filesystem is not None:
+            try:
+                self.filesystem.rm(path, recursive=True)
+            except FileNotFoundError:
+                pass
+            return
+        for root_, _, files_ in os.walk(path, topdown=False):
+            for fn in files_:
+                os.remove(os.path.join(root_, fn))
+        for root_, dirs_, _ in os.walk(path, topdown=False):
+            for dd in dirs_:
+                os.rmdir(os.path.join(root_, dd))
+        os.rmdir(path)
+
+    def pyarrow_fs(self):
+        """Wrapped pyarrow FileSystem for ``ray.data.read_parquet`` /
+        Dataset writes, or None for local-path inference."""
+        if self.filesystem is None:
+            return None
+        from pyarrow import fs as pafs
+
+        return pafs.PyFileSystem(pafs.FSSpecHandler(self.filesystem))
 
     # -- paths -----------------------------------------------------------
     def abspath(self, rel: str) -> str:
-        return os.path.join(self.root, rel)
+        return self._join(self.root, rel)
 
     def new_txn_id(self) -> str:
         return uuid.uuid4().hex[:16]
 
     def staging_dir(self, txn_id: str) -> str:
-        d = os.path.join(self.staging_root, txn_id)
-        os.makedirs(d, exist_ok=True)
+        d = self._join(self.staging_root, txn_id)
+        self._makedirs(d)
         return d
 
     # -- manifest chain --------------------------------------------------
     def _manifest_path(self, version: int) -> str:
-        return os.path.join(self.manifest_dir, f"manifest-v{version:012d}.json")
+        return self._join(self.manifest_dir, f"manifest-v{version:012d}.json")
 
     def versions(self) -> list[int]:
         out = []
-        for name in os.listdir(self.manifest_dir):
+        for name in self._listdir(self.manifest_dir):
             m = _MANIFEST_RE.match(name)
             if m:
                 out.append(int(m.group(1)))
@@ -195,7 +317,11 @@ class Lake:
         return vs[-1] if vs else None
 
     def read_manifest(self, version: int) -> Manifest:
-        with open(self._manifest_path(version)) as f:
+        path = self._manifest_path(version)
+        if self.filesystem is not None:
+            data = self.filesystem.cat_file(path)
+            return Manifest.from_json(json.loads(data))
+        with open(path) as f:
             return Manifest.from_json(json.load(f))
 
     def current_manifest(self) -> Manifest | None:
@@ -208,74 +334,100 @@ class Lake:
 
         Returns {part: [relative final paths]}. Idempotent: a file already
         moved (crash between move and commit) is detected by its presence at
-        the final path and simply re-referenced.
+        the final path and simply re-referenced. POSIX promotes by atomic
+        rename; an object store promotes by server-side copy + delete-src
+        (rename does not exist there — reference analogue: Iceberg data
+        files are written to their final keys and only the catalog pointer
+        swap is atomic, `radiant/tasks/iceberg/utils.py:61-96`).
         """
         staged = self.staging_dir(txn_id)
         out: dict[int, list[str]] = {}
-        for entry in sorted(os.listdir(staged)):
+        for entry in self._listdir(staged):
             if not entry.startswith("part="):
                 continue
             part = int(entry.split("=", 1)[1])
-            src_dir = os.path.join(staged, entry)
-            dst_dir = os.path.join(self.data_dir, entry)
-            os.makedirs(dst_dir, exist_ok=True)
+            src_dir = self._join(staged, entry)
+            dst_dir = self._join(self.data_dir, entry)
+            self._makedirs(dst_dir)
             rels = []
-            for fn in sorted(os.listdir(src_dir)):
-                src = os.path.join(src_dir, fn)
-                dst = os.path.join(dst_dir, fn)
-                if not os.path.exists(dst):
-                    os.replace(src, dst)
-                rels.append(os.path.relpath(dst, self.root))
+            for fn in self._listdir(src_dir):
+                src = self._join(src_dir, fn)
+                dst = self._join(dst_dir, fn)
+                if self.filesystem is not None:
+                    if not self.filesystem.exists(dst):
+                        self.filesystem.copy(src, dst)
+                    # staged copy is garbage either way; best-effort delete
+                    try:
+                        self.filesystem.rm_file(src)
+                    except FileNotFoundError:
+                        pass
+                    rels.append(f"data/{entry}/{fn}")
+                else:
+                    if not os.path.exists(dst):
+                        os.replace(src, dst)
+                    rels.append(os.path.relpath(dst, self.root))
             out[part] = rels
         return out
+
+    def _put_manifest_if_absent(self, final: str, data: bytes, txn_id: str) -> bool:
+        """Atomic put-if-absent of one manifest object; True iff WE published
+        it. POSIX: fsync + hard-link CAS. Object store: exists → put →
+        read-back verify (a real S3 backend swaps the put for a conditional
+        ``If-None-Match: *`` PUT; semantics of the caller's retry loop are
+        identical)."""
+        if self.filesystem is not None:
+            fs = self.filesystem
+            if fs.exists(final):
+                return False
+            fs.pipe_file(final, data)
+            return fs.cat_file(final) == data
+        tmp = self._join(
+            self.manifest_dir, f".tmp-{txn_id}-{os.path.basename(final)}"
+        )
+        with open(tmp, "wb") as f:
+            f.write(data)
+            f.flush()
+            os.fsync(f.fileno())
+        try:
+            os.link(tmp, final)
+        except FileExistsError:
+            os.remove(tmp)
+            return False
+        os.remove(tmp)
+        return True
 
     def commit(self, manifest: Manifest) -> Manifest:
         """Publish ``manifest`` as version ``manifest.version`` atomically.
 
-        Hard-link put-if-absent: succeeds exactly once per version. If the
-        version exists with our txn_id → idempotent success; with another
-        txn_id → CommitConflict (caller rebuilds against the new current and
-        retries — same loop shape as the reference's Iceberg retry,
+        Put-if-absent: succeeds exactly once per version. If the version
+        exists with our txn_id → idempotent success; with another txn_id →
+        CommitConflict (caller rebuilds against the new current and retries
+        — same loop shape as the reference's Iceberg retry,
         `radiant/tasks/iceberg/utils.py:73-96`).
         """
         manifest.committed_at = time.time()
-        tmp = os.path.join(self.manifest_dir, f".tmp-{manifest.txn_id}-{manifest.version}.json")
-        with open(tmp, "w") as f:
-            # compact encoding: a wide lake's manifest is tens of thousands
-            # of file entries and the dump is on the commit critical path
-            json.dump(manifest.to_json(), f, separators=(",", ":"))
-            f.flush()
-            os.fsync(f.fileno())
+        # compact encoding: a wide lake's manifest is tens of thousands of
+        # file entries and the dump is on the commit critical path
+        data = json.dumps(manifest.to_json(), separators=(",", ":")).encode()
         final = self._manifest_path(manifest.version)
-        try:
-            os.link(tmp, final)
-        except FileExistsError:
+        if not self._put_manifest_if_absent(final, data, manifest.txn_id):
             existing = self.read_manifest(manifest.version)
             if existing.txn_id == manifest.txn_id:
-                os.remove(tmp)
                 return existing
-            os.remove(tmp)
             raise CommitConflict(
                 f"version {manifest.version} committed by txn {existing.txn_id}"
             )
-        os.remove(tmp)
         # cleanup staging dir for this txn — best-effort AND off the commit
         # critical path: with hundreds of salted part dirs the rmdir storm
         # costs ~1 s of round wall on this FS (measured), and gc_orphans
         # reclaims any leftover staging dir anyway.
-        sd = os.path.join(self.staging_root, manifest.txn_id)
-        if os.path.isdir(sd):
+        sd = self._join(self.staging_root, manifest.txn_id)
+        if self._isdir(sd):
             import threading
 
             def _cleanup(path=sd):
                 try:
-                    for root_, _, files_ in os.walk(path, topdown=False):
-                        for fn in files_:
-                            os.remove(os.path.join(root_, fn))
-                    for root_, dirs_, _ in os.walk(path, topdown=False):
-                        for dd in dirs_:
-                            os.rmdir(os.path.join(root_, dd))
-                    os.rmdir(path)
+                    self._rmtree(path)
                 except OSError:
                     pass  # gc_orphans owns stragglers
 
@@ -310,44 +462,43 @@ class Lake:
         vs = self.versions()
         for v in vs[:-keep_versions] if keep_versions > 0 else vs[:-1]:
             path = self._manifest_path(v)
-            os.remove(path)
-            removed.append(os.path.relpath(path, self.root))
+            self._remove(path)
+            removed.append(f"manifests/manifest-v{v:012d}.json")
         referenced: set[str] = set()
         for v in self.versions():
             man = self.read_manifest(v)
             for st in man.partitions.values():
                 referenced.update(st.files)
-        for entry in os.listdir(self.data_dir):
-            pdir = os.path.join(self.data_dir, entry)
-            if not os.path.isdir(pdir):
+        for entry in self._listdir(self.data_dir):
+            pdir = self._join(self.data_dir, entry)
+            if not self._isdir(pdir):
                 continue
-            for fn in os.listdir(pdir):
-                path = os.path.join(pdir, fn)
-                rel = os.path.relpath(path, self.root)
+            for fn in self._listdir(pdir):
+                path = self._join(pdir, fn)
+                rel = f"data/{entry}/{fn}"
                 if rel not in referenced:
                     # quiescence guard: a freshly promoted file may belong to
                     # an in-flight commit (promote→commit window); only
                     # delete once it is older than staging_age_s
-                    if now - os.path.getmtime(path) < staging_age_s:
+                    if now - self._mtime(path) < staging_age_s:
                         continue
-                    os.remove(self.abspath(rel))
+                    self._remove(path)
                     removed.append(rel)
         # staging: only txn dirs quiescent for > staging_age_s (an in-flight
         # writer's dir has a recent mtime somewhere under it)
-        for txn in os.listdir(self.staging_root):
-            sd = os.path.join(self.staging_root, txn)
-            newest = os.path.getmtime(sd)
-            for root_, _, files_ in os.walk(sd):
-                for fn in files_:
-                    newest = max(newest, os.path.getmtime(os.path.join(root_, fn)))
+        for txn in self._listdir(self.staging_root):
+            sd = self._join(self.staging_root, txn)
+            files_in = self._walk_files(sd)
+            newest = self._mtime(sd)
+            for fp in files_in:
+                newest = max(newest, self._mtime(fp))
             if now - newest < staging_age_s:
                 continue
-            for root_, _, files_ in os.walk(sd, topdown=False):
-                for fn in files_:
-                    os.remove(os.path.join(root_, fn))
-                    removed.append(os.path.relpath(os.path.join(root_, fn), self.root))
-            for root_, dirs_, _ in os.walk(sd, topdown=False):
-                for dd in dirs_:
-                    os.rmdir(os.path.join(root_, dd))
-            os.rmdir(sd)
+            for fp in files_in:
+                removed.append(
+                    f"_staging/{txn}/" + fp.split(f"/{txn}/", 1)[-1]
+                    if self.filesystem is not None
+                    else os.path.relpath(fp, self.root)
+                )
+            self._rmtree(sd)
         return removed
