@@ -24,6 +24,11 @@ class EngineConfig:
     n_parts: int = 8
     #: a domain whose cumulative row count exceeds this is salted across
     #: multiple partitions (hot-key handling, north rule axes A+B).
+    #: url→salt-slot hash for a NEW lake: 2 = vectorized polars/xxhash
+    #: (default), 1 = legacy per-row CRC-32. An EXISTING lake always keeps
+    #: the version its manifest records — this knob only seeds empty lakes
+    #: (fleet-compat pin).
+    salt_hash_version_default: int = 2
     salt_threshold_rows: int = 250_000
     #: target rows per salted sub-partition when splitting a hot domain.
     salt_target_rows: int = 150_000

@@ -126,6 +126,34 @@ class CdcEngine:
                 "immutable for an existing lake (salting splits hot domains "
                 "instead — see Partitioner)"
             )
+        # salt-slot hash version is immutable per lake (like n_parts): v1
+        # lakes keep CRC-32 routing; v2 lakes verify the polars-hash canary
+        # so a library upgrade can't silently re-route salted urls away from
+        # their committed rows.
+        from radiant_portal_pipeline_ray.functions.hashing import (
+            salt_hash_fingerprint,
+        )
+
+        salt_v = (
+            current.salt_hash_version
+            if current is not None
+            else cfg.salt_hash_version_default
+        )
+        salt_fp = salt_hash_fingerprint() if salt_v >= 2 else None
+        if (
+            current is not None
+            and salt_v >= 2
+            and current.salt_hash_fingerprint
+            and current.salt_hash_fingerprint != salt_fp
+        ):
+            raise RuntimeError(
+                "salt hash fingerprint mismatch: this host's polars hash "
+                "differs from the one the lake's salted routing was "
+                "committed under (polars upgrade?). Pin the old polars, or "
+                "migrate: compact every salted partition after re-routing "
+                "via pending_migrations."
+            )
+        self._salt_v, self._salt_fp = salt_v, salt_fp
 
         def _noop_report(events_in: int) -> dict:
             return {
@@ -211,6 +239,7 @@ class CdcEngine:
             partitioner.salt_map,
             watermarks,
             partitioner.max_part_id(),
+            salt_hash_version=salt_v,
         )
         # read-splitting: without an explicit block count, a 2-file tail
         # round yields ~2 read tasks and normalize can't use the cluster
@@ -277,6 +306,7 @@ class CdcEngine:
                 partitioner.salt_map,
                 watermarks,
                 partitioner.max_part_id(),
+                salt_hash_version=self._salt_v,
             )
             parts_in_delta: set[int] | None = set()
             for _, (sch, group_paths) in sorted(file_schemas.items()):
@@ -334,7 +364,8 @@ class CdcEngine:
                     local_carry[p] = paths_p
         if old_files:
             caster = make_snapshot_caster(
-                union_schema, cfg.n_parts, partitioner.salt_map
+                union_schema, cfg.n_parts, partitioner.salt_map,
+                salt_hash_version=self._salt_v,
             )
             old_ds = rd.read_parquet(
                 old_files,
@@ -434,7 +465,10 @@ class CdcEngine:
                 urls = pq.read_table(p, columns=["url"]).column("url")
                 doms = extract_domain(urls)
                 pp = assign_parts(
-                    urls, doms, self.cfg.n_parts, partitioner.salt_map
+                    urls, doms, self.cfg.n_parts, partitioner.salt_map,
+                    salt_hash_version=(
+                        current.salt_hash_version if current is not None else 2
+                    ),
                 )
                 parts.update(
                     int(x) for x in pc.unique(pp).to_pylist() if x is not None
@@ -532,6 +566,7 @@ class CdcEngine:
             partitioner.salt_map,
             watermarks,
             partitioner.max_part_id(),
+            salt_hash_version=self._salt_v,
         )
         cpus = (
             int(ray.cluster_resources().get("CPU", 8))
@@ -592,7 +627,8 @@ class CdcEngine:
         ]
         if mig_chunks:
             caster = make_snapshot_caster(
-                union_schema, cfg.n_parts, partitioner.salt_map
+                union_schema, cfg.n_parts, partitioner.salt_map,
+                salt_hash_version=self._salt_v,
             )
             for ch in mig_chunks:
                 returns.append(
@@ -721,6 +757,7 @@ class CdcEngine:
             partitioner.salt_map,
             watermarks,
             partitioner.max_part_id(),
+            salt_hash_version=self._salt_v,
         )
         cpus = (
             int(ray.cluster_resources().get("CPU", 8))
@@ -762,7 +799,8 @@ class CdcEngine:
                 stats = st_ds if stats is None else stats.union(st_ds)
             if mig_files:
                 caster = make_snapshot_caster(
-                    union_schema, cfg.n_parts, partitioner.salt_map
+                    union_schema, cfg.n_parts, partitioner.salt_map,
+                    salt_hash_version=self._salt_v,
                 )
                 st_ds = build_exchange(
                     rd.read_parquet(
@@ -1095,6 +1133,8 @@ class CdcEngine:
                 n_parts=self.cfg.n_parts,
                 partitions=parts,
                 salt_map=partitioner.salt_map,
+                salt_hash_version=self._salt_v,
+                salt_hash_fingerprint=self._salt_fp,
                 pending_migrations=pending_next,
                 next_part=partitioner.next_part,
                 metrics={

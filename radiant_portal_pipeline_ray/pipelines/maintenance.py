@@ -272,6 +272,8 @@ def compact(
             n_parts=base.n_parts,
             partitions=parts,
             salt_map=base.salt_map,
+            salt_hash_version=base.salt_hash_version,
+            salt_hash_fingerprint=base.salt_hash_fingerprint,
             pending_migrations=base.pending_migrations,
             next_part=base.next_part,
             metrics=base.metrics,

@@ -126,6 +126,10 @@ def sim_topk_cosine(sf_dir: str):
 #: approximate paths are judged against, never as a scale path. Guarded.
 _NEARDUP_MAX_ROWS = 200_000
 
+#: dd_embed_corpus above the gate: target rows per IVF cell (tests shrink it
+#: to keep the >200k-row recall fixture fast)
+_EMBED_ANN_CELL_ROWS = 4096
+
 
 _NEARDUP_SQL = """
     WITH q AS (
@@ -247,6 +251,7 @@ def sim_ann_lsh(
     n_planes: int = 12,
     n_tables: int = 8,
     max_bucket: int = 4096,
+    threshold: float = 0.2,
 ):
     """Multi-table LSH approximate neighbors: vectors sharing ANY of the
     ``n_tables`` hyperplane-signature buckets are candidates (union →
@@ -262,10 +267,80 @@ def sim_ann_lsh(
         HyperplaneLSHStage(dim, n_planes=n_planes, n_tables=n_tables),
         batch_format="pyarrow",
     )
-    return _bucketed_ann_pairs(ds, "lsh_bucket", 0.2, max_bucket, "sim_ann_lsh")
+    return _bucketed_ann_pairs(
+        ds, "lsh_bucket", threshold, max_bucket, "sim_ann_lsh"
+    )
 
 
 # ---------------------------------------------------------------------------
+_SPLITMIX_A = np.uint64(0x9E3779B97F4A7C15)
+_SPLITMIX_B = np.uint64(0xBF58476D1CE4E5B9)
+_SPLITMIX_C = np.uint64(0x94D049BB133111EB)
+
+
+def _id_hash64(ids: np.ndarray) -> np.ndarray:
+    """splitmix64 finalizer over int ids — uniform, deterministic, and
+    independent of the table's physical order."""
+    h = ids.astype(np.uint64, copy=True)
+    h = (h + _SPLITMIX_A) & np.uint64(0xFFFFFFFFFFFFFFFF)
+    h ^= h >> np.uint64(30)
+    h = (h * _SPLITMIX_B) & np.uint64(0xFFFFFFFFFFFFFFFF)
+    h ^= h >> np.uint64(27)
+    h = (h * _SPLITMIX_C) & np.uint64(0xFFFFFFFFFFFFFFFF)
+    h ^= h >> np.uint64(31)
+    return h
+
+
+def _ivf_training_sample(
+    path: str, sample_limit: int, strategy: str = "hash"
+) -> np.ndarray:
+    """Bounded k-means training sample for the IVF index.
+
+    ``strategy="hash"`` (default): a vec_id-hash gate admits ~3× the target
+    uniformly across the WHOLE corpus and the smallest-hash ``sample_limit``
+    rows win — deterministic, order-independent, one extra column-pruned
+    streaming scan, O(sample) driver memory. This fixes the round-3 "what's
+    wrong #1": on a domain/time-SORTED embeddings table a first-N sample
+    models one slice of the corpus and the centroids silently miss the rest
+    (the realistic layout — web corpora are written in crawl/domain order).
+
+    ``strategy="first"`` keeps the legacy biased first-N read (exists so the
+    bias is demonstrable in tests, never as a production path).
+    """
+    pf = pq.ParquetFile(path)
+    n = pf.metadata.num_rows
+    if strategy == "first" or n <= sample_limit:
+        batches, seen = [], 0
+        for rb in pf.iter_batches(batch_size=4096, columns=["embedding"]):
+            batches.append(rb)
+            seen += rb.num_rows
+            if seen >= sample_limit:
+                break
+        t0 = pa.Table.from_batches(batches)
+        return np.array(
+            t0.slice(0, sample_limit).column("embedding").to_pylist(),
+            dtype=np.float64,
+        )
+    rate = min(1.0, 3.0 * sample_limit / n)
+    gate = np.uint64(int(rate * (2.0**64 - 1)))
+    keep_h: list[np.ndarray] = []
+    keep_e: list[np.ndarray] = []
+    for rb in pf.iter_batches(batch_size=8192, columns=["vec_id", "embedding"]):
+        ids = rb.column("vec_id").to_numpy(zero_copy_only=False)
+        h = _id_hash64(np.asarray(ids, dtype=np.int64))
+        m = h <= gate
+        if m.any():
+            keep_h.append(h[m])
+            tb = pa.Table.from_batches([rb]).filter(pa.array(m))
+            keep_e.append(
+                np.array(tb.column("embedding").to_pylist(), dtype=np.float64)
+            )
+    hs = np.concatenate(keep_h)
+    E = np.vstack(keep_e)
+    order = np.argsort(hs, kind="stable")[:sample_limit]
+    return E[order]
+
+
 @_register("sim_ann_ivf", None)  # approximate — rows-only; recall in pytest
 def sim_ann_ivf(
     sf_dir: str,
@@ -274,6 +349,8 @@ def sim_ann_ivf(
     kmeans_iters: int = 5,
     sample_limit: int = 10_000,
     max_cell: int = 8192,
+    threshold: float = 0.2,
+    sample_strategy: str = "hash",
 ):
     """IVF approximate neighbors — the data-adaptive scale path: k-means
     cells trained on a bounded driver-side sample, every vector multi-
@@ -289,18 +366,8 @@ def sim_ann_ivf(
     fraction. The SHAPE (bounded training sample, one bucket groupby, no
     full scan) is what carries to 10^10 rows.
     """
-    pf = pq.ParquetFile(os.path.join(sf_dir, "embeddings.parquet"))
-    batches = []
-    seen = 0
-    for rb in pf.iter_batches(batch_size=4096, columns=["embedding"]):
-        batches.append(rb)
-        seen += rb.num_rows
-        if seen >= sample_limit:
-            break
-    t0 = pa.Table.from_batches(batches)
-    sample = np.array(
-        t0.slice(0, sample_limit).column("embedding").to_pylist(),
-        dtype=np.float64,
+    sample = _ivf_training_sample(
+        os.path.join(sf_dir, "embeddings.parquet"), sample_limit, sample_strategy
     )
     sample /= np.maximum(np.linalg.norm(sample, axis=1, keepdims=True), 1e-30)
     rng = np.random.default_rng(3)
@@ -329,7 +396,7 @@ def sim_ann_ivf(
         )
 
     ds = _emb_ds(sf_dir).map_batches(assign_cells, batch_format="pyarrow")
-    return _bucketed_ann_pairs(ds, "cell", 0.2, max_cell, "sim_ann_ivf")
+    return _bucketed_ann_pairs(ds, "cell", threshold, max_cell, "sim_ann_ivf")
 
 
 # ---------------------------------------------------------------------------
@@ -360,23 +427,41 @@ def dd_embed_corpus(sf_dir: str):
     (rep = component-min id); "keep id ∉ mapping OR id = rep" dedups the
     corpus, the same contract as ``dd_dedup_corpus`` over text shingles.
 
-    Pairs come from the quantized exact generator (test-scale anchor,
-    gated all-pairs); at corpus scale swap the pair source for
-    ``sim_ann_ivf`` / ``sim_ann_lsh`` — the component fold is shared with
-    the text path and switches to distributed min-label propagation above
-    the driver edge threshold (``dedup.fold_components``)."""
+    Pair source switches with corpus size: at or below ``_NEARDUP_MAX_ROWS``
+    the quantized exact generator (the test-scale exactness anchor the
+    CORRECTNESS oracle checks); ABOVE it, ``sim_ann_ivf`` at the same 0.35
+    cosine threshold with cell count scaled to the corpus — an approximate
+    pair source whose component-mapping recall is gated ≥ 0.9 in pytest
+    (``tests/test_ivf_sample.py``). The component fold is shared with the
+    text path and switches to distributed min-label propagation above the
+    driver edge threshold (``dedup.fold_components``)."""
     from radiant_portal_pipeline_ray.pipelines.dedup import fold_components
 
-    pairs = (
-        sim_neardup_pairs_q(sf_dir)
-        .map_batches(
-            lambda b: pa.table(
-                {"doc_a": b.column("vec_a"), "doc_b": b.column("vec_b")}
-            ),
-            batch_format="pyarrow",
+    n_rows = pq.read_metadata(
+        os.path.join(sf_dir, "embeddings.parquet")
+    ).num_rows
+    if n_rows > _NEARDUP_MAX_ROWS:
+        # The exact all-pairs anchor cannot run here; source pairs from the
+        # data-adaptive IVF index at the SAME cosine threshold (0.35 = the
+        # anchor's 7/20 rational). Cell count scales with the corpus so
+        # candidate-pair volume stays LINEAR in rows
+        # (~rows × _EMBED_ANN_CELL_ROWS × nprobe²); near-dups at cos ≥ 0.35
+        # share their top cell almost surely, so nprobe=2 only covers
+        # cell-boundary ties.
+        src = sim_ann_ivf(
+            sf_dir,
+            n_cells=max(32, n_rows // _EMBED_ANN_CELL_ROWS),
+            nprobe=2,
+            threshold=0.35,
         )
-        .materialize()
-    )
+    else:
+        src = sim_neardup_pairs_q(sf_dir)
+    pairs = src.map_batches(
+        lambda b: pa.table(
+            {"doc_a": b.column("vec_a"), "doc_b": b.column("vec_b")}
+        ),
+        batch_format="pyarrow",
+    ).materialize()
     labels = fold_components(pairs)
     return labels.map_batches(
         lambda b: b.rename_columns(["vec_id", "rep_vec_id"]),

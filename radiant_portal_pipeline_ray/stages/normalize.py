@@ -37,6 +37,7 @@ def make_event_normalizer(
     salt_map: dict[str, list[int]],
     watermarks: dict[int, int],
     max_part_id: int,
+    salt_hash_version: int = 2,
 ):
     """Build the map_batches fn. All captured state is small and immutable
     (schemas + salt map + watermark dict) — broadcast once per task by Ray's
@@ -54,7 +55,9 @@ def make_event_normalizer(
         t = t.set_column(t.schema.get_field_index("text"), "text", text)
         urls = t.column("url")
         domains = extract_domain(urls)
-        parts = assign_parts(urls, domains, n_parts, salt_map)
+        parts = assign_parts(
+            urls, domains, n_parts, salt_map, salt_hash_version
+        )
         t = t.append_column(pa.field("part", pa.int32()), parts)
 
         lsn = t.column("lsn").to_numpy(zero_copy_only=False)
@@ -72,6 +75,7 @@ def make_part_scout(
     salt_map: dict[str, list[int]],
     watermarks: dict[int, int],
     max_part_id: int,
+    salt_hash_version: int = 2,
 ):
     """Changed-partition probe over a column-pruned (url, lsn) read: emits
     the distinct partition ids that have at least one event ABOVE the
@@ -85,7 +89,9 @@ def make_part_scout(
     def scout(batch: pa.Table) -> pa.Table:
         urls = batch.column("url")
         domains = extract_domain(urls)
-        parts = assign_parts(urls, domains, n_parts, salt_map)
+        parts = assign_parts(
+            urls, domains, n_parts, salt_map, salt_hash_version
+        )
         lsn = batch.column("lsn").to_numpy(zero_copy_only=False)
         pnp = parts.to_numpy(zero_copy_only=False).astype(np.int64)
         keep = lsn > wm_arr[pnp]
@@ -100,6 +106,7 @@ def make_snapshot_caster(
     union_schema: pa.Schema,
     n_parts: int,
     salt_map: dict[str, list[int]],
+    salt_hash_version: int = 2,
 ):
     """Cast carried-forward snapshot rows into the union (merge-input) layout.
 
@@ -113,7 +120,9 @@ def make_snapshot_caster(
     def cast(batch: pa.Table) -> pa.Table:
         urls = batch.column("url")
         domains = extract_domain(urls)
-        parts = assign_parts(urls, domains, n_parts, salt_map)
+        parts = assign_parts(
+            urls, domains, n_parts, salt_map, salt_hash_version
+        )
         idx = batch.schema.get_field_index("part")
         batch = batch.set_column(idx, pa.field("part", pa.int32()), parts)
         batch = batch.append_column(

@@ -113,6 +113,15 @@ class Manifest:
     n_parts: int = 0
     partitions: dict[int, PartitionState] = dc_field(default_factory=dict)
     salt_map: dict[str, list[int]] = dc_field(default_factory=dict)
+    #: which url→salt-slot hash the committed rows were routed with:
+    #: 1 = per-row CRC-32 (legacy), 2 = vectorized polars/xxhash. Immutable
+    #: for a lake's lifetime (like n_parts) — changing it would strand
+    #: committed rows of salted domains in the wrong partition.
+    salt_hash_version: int = 1
+    #: v2 only: canary hashes proving the host's hash impl still matches the
+    #: one the lake committed under (guards against a polars upgrade
+    #: silently changing xxhash output)
+    salt_hash_fingerprint: list[int] | None = None
     #: domains salted at THIS commit whose historical rows still live in
     #: their old partitions; the next apply must rewrite those partitions so
     #: rows follow the new routing (deferred migration — keeps salting
@@ -144,6 +153,8 @@ class Manifest:
             "schema": schema_summary(self.schema) if self.schema else [],
             "partitions": {str(p): st.to_json() for p, st in self.partitions.items()},
             "salt_map": self.salt_map,
+            "salt_hash_version": self.salt_hash_version,
+            "salt_hash_fingerprint": self.salt_hash_fingerprint,
             "pending_migrations": self.pending_migrations,
             "next_part": self.next_part,
             "committed_at": self.committed_at,
@@ -163,6 +174,8 @@ class Manifest:
                 for p, st in d["partitions"].items()
             },
             salt_map={k: list(v) for k, v in d.get("salt_map", {}).items()},
+            salt_hash_version=d.get("salt_hash_version", 1),
+            salt_hash_fingerprint=d.get("salt_hash_fingerprint"),
             pending_migrations={
                 k: list(v) for k, v in d.get("pending_migrations", {}).items()
             },
