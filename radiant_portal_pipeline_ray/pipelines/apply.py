@@ -426,7 +426,9 @@ class CdcEngine:
         )
 
     # ------------------------------------------------------------------
-    def apply_backlog(self, jobs: list[dict]) -> list[dict]:
+    def apply_backlog(
+        self, jobs: list[dict], max_concurrency: int = 1
+    ) -> list[dict]:
         """Priority-ordered work-list (W4): a backlog of pending changelog
         work units applied in ascending ``priority`` (the reference's
         STAT < ASAP < URGENT < ROUTINE ordering of per-partition import
@@ -446,6 +448,21 @@ class CdcEngine:
         jobs have all run — priority ordering that can never reorder a
         partition's own stream. Returns the reports in EXECUTION order,
         each annotated with its submission index.
+
+        ``max_concurrency > 1`` is the multi-writer mode (reference
+        analogue: one concurrent import-part run per partition fanned in to
+        a single committer, `radiant/dags/import_snv_vcf.py:47-49`): each
+        wave dispatches up to that many PARTITION-DISJOINT runnable jobs,
+        each through its own fresh ``CdcEngine`` writer, serialized only at
+        the manifest commit — the put-if-absent CAS orders the commits and
+        ``_commit_with_retry`` rebases each writer's manifest over the
+        other's committed version (valid exactly because the wave is
+        partition-disjoint). The one cross-partition coupling is routing
+        state: if two writers both make salting decisions, the later commit
+        raises ``ConcurrentWriterConflict``; that job's staged files become
+        GC-able orphans (its watermark never advanced) and it is re-run
+        sequentially after the wave — a pure re-execution, never a partial
+        state.
         """
         from radiant_portal_pipeline_ray.functions.hashing import (
             assign_parts,
@@ -477,22 +494,68 @@ class CdcEngine:
 
         remaining = list(range(len(jobs)))
         out = []
-        while remaining:
-            runnable = [
-                i
-                for i in remaining
-                if not any(
-                    k < i and job_parts[k] & job_parts[i] for k in remaining
-                )
+
+        def _fresh_writer() -> "CdcEngine":
+            eng = CdcEngine(self.lake.root, self.cfg)
+            if self.lake.filesystem is not None:
+                eng.lake = Lake(self.lake.root, self.lake.filesystem)
+            return eng
+
+        def _run_concurrent(wave: list[int]) -> list[dict]:
+            from concurrent.futures import ThreadPoolExecutor
+
+            def one(i: int):
+                try:
+                    return _fresh_writer().apply(jobs[i]["paths"])
+                except ConcurrentWriterConflict:
+                    # routing state (salt decisions) diverged mid-wave; the
+                    # failed writer's staged files are unreferenced orphans
+                    # and its watermarks never advanced — safe to re-run.
+                    return None
+
+            with ThreadPoolExecutor(max_workers=len(wave)) as ex:
+                reps = list(ex.map(one, wave))
+            return [
+                rep if rep is not None else self.apply(jobs[i]["paths"])
+                for i, rep in zip(wave, reps)
             ]
-            nxt = min(
-                runnable, key=lambda i: (jobs[i].get("priority", 1_000_000), i)
+
+        while remaining:
+            runnable = sorted(
+                (
+                    i
+                    for i in remaining
+                    if not any(
+                        k < i and job_parts[k] & job_parts[i] for k in remaining
+                    )
+                ),
+                key=lambda i: (jobs[i].get("priority", 1_000_000), i),
             )
-            remaining.remove(nxt)
-            rep = self.apply(jobs[nxt]["paths"])
-            rep["job_index"] = nxt
-            rep["priority"] = jobs[nxt].get("priority", 1_000_000)
-            out.append(rep)
+            if max_concurrency <= 1:
+                wave = runnable[:1]
+            else:
+                # greedy by (priority, submission): add a runnable job to the
+                # wave only if its partitions are disjoint from every job
+                # already in it — the invariant the commit rebase relies on
+                wave, taken = [], set()
+                for i in runnable:
+                    if len(wave) >= max_concurrency:
+                        break
+                    if job_parts[i] & taken:
+                        continue
+                    wave.append(i)
+                    taken |= job_parts[i]
+            for i in wave:
+                remaining.remove(i)
+            reps = (
+                [self.apply(jobs[wave[0]]["paths"])]
+                if len(wave) == 1
+                else _run_concurrent(wave)
+            )
+            for i, rep in zip(wave, reps):
+                rep["job_index"] = i
+                rep["priority"] = jobs[i].get("priority", 1_000_000)
+                out.append(rep)
         return out
 
     # ------------------------------------------------------------------
@@ -1060,14 +1123,22 @@ class CdcEngine:
                 # (even on disjoint partitions), re-committing ours would
                 # silently drop its salting decisions or double-allocate a
                 # salt partition id — mis-routed rows. Refuse instead.
+                # next_part=None (no manifest / pre-field manifest) routes
+                # identically to next_part=n_parts — the partitioner's
+                # starting counter — so coalesce before comparing, else an
+                # empty-lake merge_base false-positives against a first
+                # concurrent commit that published the default counter.
                 old_route = (
                     (merge_base.salt_map, merge_base.pending_migrations,
-                     merge_base.next_part)
-                    if merge_base else ({}, {}, None)
+                     merge_base.next_part
+                     if merge_base.next_part is not None else self.cfg.n_parts)
+                    if merge_base else ({}, {}, self.cfg.n_parts)
                 )
                 new_route = (
-                    (base.salt_map, base.pending_migrations, base.next_part)
-                    if base else ({}, {}, None)
+                    (base.salt_map, base.pending_migrations,
+                     base.next_part
+                     if base.next_part is not None else self.cfg.n_parts)
+                    if base else ({}, {}, self.cfg.n_parts)
                 )
                 if old_route != new_route:
                     raise ConcurrentWriterConflict(

@@ -86,6 +86,120 @@ class TokenizeStage:
         return batch
 
 
+def train_bpe_merges(texts: list[str], num_merges: int) -> list[tuple[str, str]]:
+    """Deterministic byte-pair-encoding merge-table trainer (the classic
+    Sennrich count-pairs/merge-top loop) over a small corpus. Driver-side
+    utility for building REAL merges tables in tests and small vocab fits;
+    at 100 TB a vocab is trained once offline and shipped to the stage, so
+    this never sits on a hot path. Pre-tokens are ``TokenizeStage.BPE_PATTERN``
+    matches; ties on pair frequency break lexicographically for determinism.
+    """
+    import re
+    from collections import Counter
+
+    pat = re.compile(TokenizeStage.BPE_PATTERN)
+    words = Counter()
+    for t in texts:
+        if t:
+            words.update(pat.findall(t))
+    vocab = {tuple(w): c for w, c in words.items()}
+    merges: list[tuple[str, str]] = []
+    for _ in range(num_merges):
+        pairs: Counter = Counter()
+        for sym, c in vocab.items():
+            for a, b in zip(sym, sym[1:]):
+                pairs[(a, b)] += c
+        if not pairs:
+            break
+        best = max(pairs.items(), key=lambda kv: (kv[1], kv[0]))[0]
+        merges.append(best)
+        merged = best[0] + best[1]
+        new_vocab = {}
+        for sym, c in vocab.items():
+            out, i = [], 0
+            while i < len(sym):
+                if i + 1 < len(sym) and sym[i] == best[0] and sym[i + 1] == best[1]:
+                    out.append(merged)
+                    i += 2
+                else:
+                    out.append(sym[i])
+                    i += 1
+            new_vocab[tuple(out)] = new_vocab.get(tuple(out), 0) + c
+        vocab = new_vocab
+    return merges
+
+
+class BpeEncodeStage:
+    """REAL merges-table BPE token counting (the GPT-2 encode algorithm):
+    pre-tokenize with ``TokenizeStage.BPE_PATTERN``, then repeatedly apply
+    the lowest-rank merge from the table until no pair in the word is
+    mergeable. This is the exercised version of the ``t_token_counts_bpe``
+    pre-tokenizer count — same stage shape, real vocabulary semantics.
+
+    Actor-pool idiom (reference T1/T2: per-worker state resolved once):
+    the merge-rank dict is built in ``__init__`` — shipped once per actor /
+    task closure — and an encode CACHE keyed by unique pre-token persists
+    across batches within a worker, so Zipf-distributed text costs one merge
+    loop per DISTINCT word per worker, not per occurrence. The per-row work
+    is a C-backed ``re.findall`` + dict lookups.
+    """
+
+    def __init__(
+        self,
+        merges: list[tuple[str, str]],
+        text_col: str = "text",
+        out_col: str = "n_tokens_bpe_real",
+    ):
+        import re
+
+        self.text_col = text_col
+        self.out_col = out_col
+        self.ranks = {pair: i for i, pair in enumerate(merges)}
+        self._pat = re.compile(TokenizeStage.BPE_PATTERN)
+        self._cache: dict[str, int] = {}
+
+    def _encode_len(self, word: str) -> int:
+        hit = self._cache.get(word)
+        if hit is not None:
+            return hit
+        sym = list(word)
+        while len(sym) > 1:
+            best_rank, best_i = None, -1
+            for i, pair in enumerate(zip(sym, sym[1:])):
+                r = self.ranks.get(pair)
+                if r is not None and (best_rank is None or r < best_rank):
+                    best_rank, best_i = r, i
+            if best_rank is None:
+                break
+            merged = sym[best_i] + sym[best_i + 1]
+            # merge EVERY occurrence of the chosen pair (GPT-2 semantics)
+            a, b = sym[best_i], sym[best_i + 1]
+            out, i = [], 0
+            while i < len(sym):
+                if i + 1 < len(sym) and sym[i] == a and sym[i + 1] == b:
+                    out.append(merged)
+                    i += 2
+                else:
+                    out.append(sym[i])
+                    i += 1
+            sym = out
+        n = len(sym)
+        if len(self._cache) < 1_000_000:  # bounded per-worker cache
+            self._cache[word] = n
+        return n
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        counts = [
+            None
+            if t is None
+            else sum(self._encode_len(w) for w in self._pat.findall(t))
+            for t in batch.column(self.text_col).to_pylist()
+        ]
+        return batch.append_column(
+            self.out_col, pa.array(counts, type=pa.int64())
+        )
+
+
 class QualityScoreStage:
     """Length / word-count / stopword quality features. Counts are emitted
     as exact integers (numerator + denominator, never a pre-divided ratio)
