@@ -38,13 +38,23 @@ def _num_cpus() -> int:
 
 def _bench_spec(sf_dir: str):
     """Scale the changelog to the sf tier: ~10/3 events per lineitem row
-    (600k rows at sf0.1 → 2M events, FIXTURES.md bench tier)."""
+    (600k rows at sf0.1 → 2M events, FIXTURES.md bench tier).
+    ``GRAFT_BENCH_EVENTS`` overrides the event count directly — the
+    larger-than-sf0.1 validation runs (BASELINE.md §Large-scale replay) use
+    it to push the exchange's byte-scaled bucket sizing past the regime the
+    sf tiers reach."""
     import pyarrow.parquet as pq
 
     from radiant_portal_pipeline_ray.sources.generator import ChangelogSpec
 
-    li_rows = pq.ParquetFile(os.path.join(sf_dir, "lineitem.parquet")).metadata.num_rows
-    n_events = max(20_000, int(li_rows * 10 / 3))
+    ev_env = os.environ.get("GRAFT_BENCH_EVENTS")
+    if ev_env:
+        n_events = int(ev_env)
+    else:
+        li_rows = pq.ParquetFile(
+            os.path.join(sf_dir, "lineitem.parquet")
+        ).metadata.num_rows
+        n_events = max(20_000, int(li_rows * 10 / 3))
     return ChangelogSpec(
         n_urls=max(2_000, n_events // 10),
         n_events=n_events,

@@ -1032,3 +1032,171 @@ def fold_components(pairs: "rd.Dataset") -> "rd.Dataset":
             }
         )
     ).sort("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Corpus-wide exact passage dedup (MassiveText-style): explode every doc into
+# non-overlapping WIDTH-word passages, canonical first occurrence by global
+# (doc_id, passage_no), report per-doc passage/duplicate counts. Scale shape:
+# the shuffle moves only (md5-hex, doc_id, packed order key) rows — never
+# text — through the keyed task exchange; per-bucket dup attribution is one
+# vectorized group-min + hash join; the per-doc fold is a second tiny
+# exchange on pre-combined partials.
+# ---------------------------------------------------------------------------
+_PASSAGE_WIDTH = 8
+
+_PASSAGE_SQL = f"""
+    WITH words AS (
+      SELECT doc_id, list_filter(string_split(trim(text), ' '), x -> x <> '') AS w
+      FROM documents
+    ), chunks AS (
+      SELECT doc_id, CAST(i AS BIGINT) AS passage_no,
+             array_to_string(
+               w[(CAST(i AS BIGINT)*{_PASSAGE_WIDTH}+1):(CAST(i AS BIGINT)*{_PASSAGE_WIDTH}+{_PASSAGE_WIDTH})], ' '
+             ) AS passage
+      FROM words, UNNEST(range(CAST(len(w)//{_PASSAGE_WIDTH} AS BIGINT))) AS t(i)
+    ), ranked AS (
+      SELECT doc_id, passage_no,
+             row_number() OVER (PARTITION BY passage ORDER BY doc_id, passage_no) AS rn
+      FROM chunks
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_passages,
+           CAST(SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_passages
+    FROM ranked GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+@_register("dd_passage_dedup", _PASSAGE_SQL)
+def dd_passage_dedup(sf_dir: str, width: int = _PASSAGE_WIDTH):
+    """Corpus-wide exact passage dedup; docs with fewer than ``width`` words
+    contribute no passages (and no output row), matching the oracle."""
+    from radiant_portal_pipeline_ray.stages.passages import explode_fixed_passages
+    from radiant_portal_pipeline_ray.stages.taskshuffle import exchange_group
+
+    ds = _docs(sf_dir, ["doc_id", "text"])
+    exploded = ds.map_batches(
+        lambda b: explode_fixed_passages(b, width), batch_format="pyarrow"
+    )
+
+    def bucket_fn(t: pa.Table) -> pa.Table:
+        mins = t.group_by("h").aggregate([("okey", "min")])
+        j = t.join(mins, keys="h")
+        dup = pc.cast(
+            pc.not_equal(j.column("okey"), j.column("okey_min")), pa.int64()
+        )
+        part = pa.table({"doc_id": j.column("doc_id"), "dup": dup})
+        g = part.group_by("doc_id").aggregate([("dup", "count"), ("dup", "sum")])
+        return pa.table(
+            {
+                "doc_id": g.column("doc_id"),
+                "n_passages": pc.cast(g.column("dup_count"), pa.int64()),
+                "n_dup_passages": pc.cast(g.column("dup_sum"), pa.int64()),
+            }
+        )
+
+    partial = exchange_group(exploded, ["h"], 64, bucket_fn)
+
+    def fold(t: pa.Table) -> pa.Table:
+        g = t.group_by("doc_id").aggregate(
+            [("n_passages", "sum"), ("n_dup_passages", "sum")]
+        )
+        return pa.table(
+            {
+                "doc_id": g.column("doc_id"),
+                "n_passages": pc.cast(g.column("n_passages_sum"), pa.int64()),
+                "n_dup_passages": pc.cast(g.column("n_dup_passages_sum"), pa.int64()),
+            }
+        )
+
+    return exchange_group(partial, ["doc_id"], 16, fold).sort("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Benchmark decontamination: flag training docs containing ANY n-gram of a
+# (small) eval set — the classic train/test-overlap filter. Scale shape:
+# the eval side is distinct 64-bit md5 n-gram hashes, collected once (eval
+# benchmarks are small by definition), ``ray.put`` ONCE and searchsorted
+# against inside every train task — a broadcast membership filter, no
+# shuffle at all; the train side streams.
+# ---------------------------------------------------------------------------
+_DECON_WIDTH = 4
+_DECON_EVAL_MOD = 13
+#: eval n-gram sets beyond this are not "benchmarks" — refuse rather than
+#: silently building an oversized broadcast object
+_DECON_MAX_EVAL_GRAMS = 50_000_000
+
+_DECON_SQL = f"""
+    WITH words AS (
+      SELECT doc_id, list_filter(string_split(trim(text), ' '), x -> x <> '') AS w
+      FROM documents
+    ), grams AS (
+      SELECT doc_id,
+             CAST('0x' || substr(md5(array_to_string(
+               w[(CAST(i AS BIGINT)+1):(CAST(i AS BIGINT)+{_DECON_WIDTH})], ' '
+             )), 1, 16) AS UBIGINT) AS g
+      FROM words,
+           UNNEST(range(CAST(greatest(len(w)-{_DECON_WIDTH - 1}, 0) AS BIGINT))) AS t(i)
+    ), eval_grams AS (
+      SELECT DISTINCT g FROM grams WHERE doc_id % {_DECON_EVAL_MOD} = 0
+    )
+    SELECT g.doc_id, CAST(COUNT(*) AS BIGINT) AS n_contaminated
+    FROM grams g JOIN eval_grams e USING (g)
+    WHERE g.doc_id % {_DECON_EVAL_MOD} <> 0
+    GROUP BY g.doc_id ORDER BY g.doc_id
+"""
+
+
+@_register("dd_decontaminate", _DECON_SQL)
+def dd_decontaminate(
+    sf_dir: str, width: int = _DECON_WIDTH, eval_mod: int = _DECON_EVAL_MOD
+):
+    """Training docs whose text shares any sliding ``width``-gram with the
+    eval split (``doc_id % eval_mod == 0``), with occurrence counts."""
+    from radiant_portal_pipeline_ray.stages.passages import sliding_ngram_hashes
+    from radiant_portal_pipeline_ray.stages.taskshuffle import _concat_or_empty
+
+    docs = _docs(sf_dir, ["doc_id", "text"])
+
+    def eval_grams(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id").to_numpy(zero_copy_only=False)
+        sub = b.filter(pa.array(ids % eval_mod == 0))
+        g = sliding_ngram_hashes(sub, width)
+        return pa.table({"g64": pc.unique(g.column("g64"))})
+
+    gram_schema = pa.schema([pa.field("g64", pa.uint64())])
+    parts = ray.get(
+        docs.map_batches(eval_grams, batch_format="pyarrow")
+        .materialize()
+        .to_arrow_refs()
+    )
+    eval_h = np.unique(
+        _concat_or_empty(parts, gram_schema).column("g64").to_numpy(
+            zero_copy_only=False
+        )
+    )
+    if len(eval_h) > _DECON_MAX_EVAL_GRAMS:
+        raise ValueError(
+            f"eval n-gram set has {len(eval_h)} distinct grams; "
+            "decontamination broadcasts the eval side — shrink the eval split"
+        )
+    eval_ref = ray.put(eval_h)
+
+    def flag(b: pa.Table) -> pa.Table:
+        ev = ray.get(eval_ref)  # plasma-cached per node, zero-copy numpy
+        ids = b.column("doc_id").to_numpy(zero_copy_only=False)
+        sub = b.filter(pa.array(ids % eval_mod != 0))
+        g = sliding_ngram_hashes(sub, width)
+        gh = g.column("g64").to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(ev, gh)
+        hit = (pos < len(ev)) & (ev[np.minimum(pos, len(ev) - 1)] == gh) if len(ev) else np.zeros(len(gh), bool)
+        gd = g.column("doc_id").to_numpy(zero_copy_only=False)[hit]
+        uids, counts = np.unique(gd, return_counts=True)
+        return pa.table(
+            {
+                "doc_id": pa.array(uids, type=pa.int64()),
+                "n_contaminated": pa.array(counts.astype(np.int64)),
+            }
+        )
+
+    return docs.map_batches(flag, batch_format="pyarrow").sort("doc_id")

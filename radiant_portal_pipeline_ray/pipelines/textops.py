@@ -246,3 +246,37 @@ def t_hash_sample(sf_dir: str, rate_pct: int = 10):
         return b.filter(pa.array(keep))
 
     return docs.map_batches(sample, batch_format="pyarrow").sort("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Gopher-style repetition quality features: exact integer repetition stats
+# per doc (duplicate-word and duplicate-2-gram mass), the standard webtext
+# quality-filter inputs alongside t_quality_scores. Pure map_batches — no
+# shuffle; ratios (dup_word_frac = 1 - n_distinct_words/n_words, etc.) are
+# derived downstream from exact numerators/denominators.
+# ---------------------------------------------------------------------------
+@_register(
+    "t_repetition_stats",
+    """
+    WITH words AS (
+      SELECT doc_id, list_filter(string_split(trim(text), ' '), x -> x <> '') AS w
+      FROM documents
+    )
+    SELECT doc_id,
+      CAST(len(w) AS BIGINT) AS n_words,
+      CAST(len(list_distinct(w)) AS BIGINT) AS n_distinct_words,
+      CAST(list_max(list_transform(list_distinct(w),
+           x -> len(list_filter(w, y -> y = x)))) AS BIGINT) AS top_word_count,
+      CAST(greatest(len(w)-1, 0) AS BIGINT) AS n_2grams,
+      CAST(len(list_distinct(list_transform(range(len(w)-1),
+           i -> w[i+1] || ' ' || w[i+2]))) AS BIGINT) AS n_distinct_2grams
+    FROM words ORDER BY doc_id
+    """,
+)
+def t_repetition_stats(sf_dir: str):
+    from radiant_portal_pipeline_ray.stages.passages import repetition_stats
+
+    ds = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        repetition_stats, batch_format="pyarrow"
+    )
+    return ds.sort("doc_id")
