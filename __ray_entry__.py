@@ -69,6 +69,12 @@ def _registry() -> dict[str, tuple]:
         reg.update(flagship.QUERIES)
     except ImportError:
         pass
+    try:
+        from radiant_portal_pipeline_ray.pipelines import changefeed
+
+        reg.update(changefeed.QUERIES)
+    except ImportError:
+        pass
     return reg
 
 

@@ -1291,6 +1291,19 @@ class CdcEngine:
             filesystem=self.lake.pyarrow_fs(),
         )
 
+    def read_changes(
+        self, v_from: int, v_to: int, n_buckets: int = 64
+    ) -> "rd.Dataset":
+        """Change-data-feed between two retained versions: streaming
+        ``(change_op I/U/D, url, lsn_from, lsn_to)``. Partitions whose file
+        lists are identical at both versions are pruned from the read
+        entirely (see ``pipelines/changefeed.py``)."""
+        from radiant_portal_pipeline_ray.pipelines.changefeed import (
+            read_changes,
+        )
+
+        return read_changes(self, v_from, v_to, n_buckets)
+
     def snapshot_table(
         self,
         columns: list[str] | None = None,

@@ -1,0 +1,203 @@
+"""Change-data-feed: the row-level diff between two committed lake versions
+(the Delta-CDF / Iceberg-changelog analogue; reference's consumers poll the
+equivalent StarRocks delta tables, `radiant/dags/import_snv_vcf.py` chaining).
+
+Scale shape:
+- **Partition pruning from manifests alone**: a partition whose file list is
+  identical at both versions cannot contain a change (commits rewrite a
+  partition's files whenever any of its rows change), so its data is never
+  read. A typical incremental round touches a handful of partitions — the
+  diff reads only those, O(changed) not O(table).
+- The changed partitions' rows (``url, lsn, deleted`` only — never payload
+  columns) flow through one keyed task exchange and a vectorized per-bucket
+  full-outer join; classification is pure Arrow compute.
+- Output is streamed per bucket; nothing materializes on the driver.
+
+Change semantics per url between ``v_from`` → ``v_to``:
+- ``I``: not live at v_from (absent or tombstoned), live at v_to
+- ``U``: live at both with a different ``lsn`` (LWW stamp)
+- ``D``: live at v_from, tombstoned (or, defensively, absent) at v_to
+``lsn_from`` / ``lsn_to`` carry the row's lsn at each version whenever the
+url has a (possibly tombstone) row there, else NULL.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data as rd
+
+_DIFF_COLS = ["url", "lsn", "deleted"]
+
+
+def _version_side(engine, man, changed: list[int]) -> "rd.Dataset":
+    files = [
+        engine.lake.abspath(f)
+        for p in changed
+        if p in man.partitions
+        for f in man.partitions[p].files
+    ]
+    if not files:
+        empty = pa.table(
+            {
+                "url": pa.array([], type=pa.string()),
+                "lsn": pa.array([], type=pa.int64()),
+                "deleted": pa.array([], type=pa.bool_()),
+            }
+        )
+        return rd.from_arrow(empty)
+    return rd.read_parquet(
+        files, columns=_DIFF_COLS, filesystem=engine.lake.pyarrow_fs()
+    )
+
+
+def _diff_kernel(lt: pa.Table, rt: pa.Table) -> pa.Table:
+    lt = lt.rename_columns(["url", "lsn_from", "deleted_from"])
+    rt = rt.rename_columns(["url", "lsn_to", "deleted_to"])
+    j = lt.join(rt, keys="url", join_type="full outer").combine_chunks()
+
+    lf = j.column("lsn_from")
+    lt_ = j.column("lsn_to")
+    present_from = pc.is_valid(lf)
+    present_to = pc.is_valid(lt_)
+    live_from = pc.and_(present_from, pc.equal(pc.fill_null(j.column("deleted_from"), True), False))
+    live_to = pc.and_(present_to, pc.equal(pc.fill_null(j.column("deleted_to"), True), False))
+
+    is_i = pc.and_(pc.invert(live_from), live_to)
+    is_d = pc.and_(live_from, pc.invert(live_to))
+    is_u = pc.and_(
+        pc.and_(live_from, live_to),
+        pc.not_equal(pc.fill_null(lf, -1), pc.fill_null(lt_, -1)),
+    )
+
+    n = j.num_rows
+    op = np.full(n, None, dtype=object)
+    op[np.asarray(is_i.to_numpy(zero_copy_only=False), dtype=bool)] = "I"
+    op[np.asarray(is_u.to_numpy(zero_copy_only=False), dtype=bool)] = "U"
+    op[np.asarray(is_d.to_numpy(zero_copy_only=False), dtype=bool)] = "D"
+    keep = pa.array([o is not None for o in op], type=pa.bool_())
+    out = pa.table(
+        {
+            "change_op": pa.array(op, type=pa.string()),
+            "url": j.column("url"),
+            "lsn_from": pc.cast(lf, pa.int64()),
+            "lsn_to": pc.cast(lt_, pa.int64()),
+        }
+    )
+    return out.filter(keep)
+
+
+def read_changes(engine, v_from: int, v_to: int, n_buckets: int = 64) -> "rd.Dataset":
+    """Streaming Dataset of ``(change_op, url, lsn_from, lsn_to)`` between
+    two retained manifest versions (see module docstring for semantics)."""
+    from radiant_portal_pipeline_ray.stages.taskshuffle import exchange_join
+
+    m_from = engine.lake.read_manifest(v_from)
+    m_to = engine.lake.read_manifest(v_to)
+
+    def _files(man, p):
+        return man.partitions[p].files if p in man.partitions else []
+
+    parts = set(m_from.partitions) | set(m_to.partitions)
+    changed = sorted(
+        p for p in parts if _files(m_from, p) != _files(m_to, p)
+    )
+    left = _version_side(engine, m_from, changed)
+    right = _version_side(engine, m_to, changed)
+    return exchange_join(
+        left, right, ["url"], ["url"], n_buckets, _diff_kernel
+    )
+
+
+# ---------------------------------------------------------------------------
+# Oracle-checked entry: replay the flagship changelog's two incremental
+# rounds (versions 1 and 2), then diff them with read_changes. The SQL
+# oracle reconstructs the LWW state at the batch-1 watermark and at the end
+# from the documents table alone and diffs those states — exercising
+# manifest pruning, the exchange join and I/U/D classification end-to-end.
+# ---------------------------------------------------------------------------
+QUERIES: dict = {}
+
+# event layout mirrors pipelines/flagship.documents_changelog: inserts get
+# lsn = rank(doc_id); updates (doc_id % 3 = 0) get n + rank; deletes
+# (doc_id % 17 = 0) get n + n_upd + rank; batch 1 holds lsn <= total // 2
+_CHANGEFEED_SQL = """
+    WITH d AS (
+      SELECT doc_id,
+             'https://' || source || '.example.net/doc/' ||
+               lpad(CAST(doc_id AS VARCHAR), 8, '0') AS url,
+             ROW_NUMBER() OVER (ORDER BY doc_id) AS rn,
+             COUNT(*) OVER () AS n
+      FROM documents
+    ), upd AS (
+      SELECT doc_id, ROW_NUMBER() OVER (ORDER BY doc_id) AS ur,
+             COUNT(*) OVER () AS nu
+      FROM documents WHERE doc_id % 3 = 0
+    ), del AS (
+      SELECT doc_id, ROW_NUMBER() OVER (ORDER BY doc_id) AS dr
+      FROM documents WHERE doc_id % 17 = 0
+    ), events AS (
+      SELECT url, rn AS lsn, 'I' AS op FROM d
+      UNION ALL
+      SELECT d.url, d.n + upd.ur, 'U' FROM d JOIN upd USING (doc_id)
+      UNION ALL
+      SELECT d.url, d.n + (SELECT max(nu) FROM upd) + del.dr, 'D'
+      FROM d JOIN del USING (doc_id)
+    ), bounds AS (
+      SELECT CAST(COUNT(*) // 2 AS BIGINT) AS mid FROM events
+    ), s1 AS (
+      SELECT url, lsn, op FROM (
+        SELECT e.*, ROW_NUMBER() OVER (PARTITION BY url ORDER BY lsn DESC) AS k
+        FROM events e, bounds WHERE lsn <= bounds.mid
+      ) WHERE k = 1
+    ), s2 AS (
+      SELECT url, lsn, op FROM (
+        SELECT e.*, ROW_NUMBER() OVER (PARTITION BY url ORDER BY lsn DESC) AS k
+        FROM events e
+      ) WHERE k = 1
+    )
+    SELECT CASE
+             WHEN (s1.url IS NULL OR s1.op = 'D') AND s2.op <> 'D' THEN 'I'
+             WHEN s1.op <> 'D' AND s2.op = 'D' THEN 'D'
+             ELSE 'U'
+           END AS change_op,
+           COALESCE(s1.url, s2.url) AS url,
+           CAST(s1.lsn AS BIGINT) AS lsn_from,
+           CAST(s2.lsn AS BIGINT) AS lsn_to
+    FROM s1 FULL OUTER JOIN s2 ON s1.url = s2.url
+    WHERE (CASE WHEN s1.url IS NULL OR s1.op = 'D' THEN FALSE ELSE TRUE END)
+          <> (CASE WHEN s2.url IS NULL OR s2.op = 'D' THEN FALSE ELSE TRUE END)
+       OR (s1.op <> 'D' AND s2.op <> 'D' AND s1.lsn <> s2.lsn)
+    ORDER BY url
+"""
+
+
+def cdc_change_feed(sf_dir: str):
+    """Flagship replay (2 incremental commits) → read_changes(v1, v2)."""
+    import os
+    import shutil
+    import tempfile
+
+    from radiant_portal_pipeline_ray.config import EngineConfig
+    from radiant_portal_pipeline_ray.pipelines.apply import CdcEngine
+    from radiant_portal_pipeline_ray.pipelines.flagship import (
+        documents_changelog,
+    )
+
+    work = tempfile.mkdtemp(prefix="cdc_changefeed_")
+    try:
+        paths = documents_changelog(sf_dir, os.path.join(work, "changelog"))
+        eng = CdcEngine(os.path.join(work, "lake"), EngineConfig(n_parts=8))
+        for p in paths:
+            eng.apply([p])
+        return (
+            read_changes(eng, 1, 2)
+            .sort("url")
+            .materialize()  # the lake under /tmp is removed on return
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+QUERIES["cdc_change_feed"] = (cdc_change_feed, _CHANGEFEED_SQL)

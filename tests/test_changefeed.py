@@ -1,0 +1,112 @@
+"""Change-data-feed: I/U/D classification vs a driver-side snapshot diff,
+manifest-level partition pruning, and the v→v identity case."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from radiant_portal_pipeline_ray.config import EngineConfig
+from radiant_portal_pipeline_ray.pipelines import changefeed
+from radiant_portal_pipeline_ray.pipelines.apply import CdcEngine
+from radiant_portal_pipeline_ray.schemas import CHANGELOG_SCHEMA
+
+_US = 1_000_000
+_T0 = 1_704_067_200 * _US
+
+
+def _write_events(path, rows):
+    """rows: list of (lsn, op, url)."""
+    lsn = np.array([r[0] for r in rows], dtype=np.int64)
+    ops = [r[1] for r in rows]
+    urls = [r[2] for r in rows]
+    t = pa.Table.from_pydict(
+        {
+            "lsn": pa.array(lsn),
+            "op": pa.array(ops),
+            "url": pa.array(urls),
+            "warc_ts": pa.array(
+                (_T0 + lsn * _US).astype("datetime64[us]"), pa.timestamp("us")
+            ),
+            "html": pa.array(
+                [
+                    None if o == "D" else f"<html><body>{u} v{l}</body></html>".encode()
+                    for o, u, l in zip(ops, urls, lsn)
+                ],
+                pa.binary(),
+            ),
+            "text": pa.array(["" if o != "D" else None for o in ops]),
+            "lang": pa.array([None if o == "D" else "en" for o in ops]),
+        },
+        schema=CHANGELOG_SCHEMA,
+    )
+    pq.write_table(t, str(path))
+    return str(path)
+
+
+def test_read_changes_classifies_and_prunes(ray_session, tmp_path):
+    u = lambda d, i: f"https://{d}/p/{i:04d}"
+    # round 1: 3 domains (distinct partitions at n_parts=4), 2 urls each
+    r1 = [
+        (1, "I", u("aaa.org", 0)),
+        (2, "I", u("aaa.org", 1)),
+        (3, "I", u("aab.org", 0)),
+        (4, "I", u("aab.org", 1)),
+        (5, "I", u("aad.org", 0)),
+        (6, "I", u("aad.org", 1)),
+    ]
+    # round 2 touches ONLY aaa.org: update one url, delete one, insert one
+    r2 = [
+        (10, "U", u("aaa.org", 0)),
+        (11, "D", u("aaa.org", 1)),
+        (12, "I", u("aaa.org", 2)),
+    ]
+    eng = CdcEngine(str(tmp_path / "lake"), EngineConfig(n_parts=4))
+    eng.apply([_write_events(tmp_path / "r1.parquet", r1)])
+    eng.apply([_write_events(tmp_path / "r2.parquet", r2)])
+
+    # pruning: exactly one partition's file list changed between v1 and v2
+    m1, m2 = eng.lake.read_manifest(1), eng.lake.read_manifest(2)
+    changed = [
+        p
+        for p in set(m1.partitions) | set(m2.partitions)
+        if (m1.partitions[p].files if p in m1.partitions else [])
+        != (m2.partitions[p].files if p in m2.partitions else [])
+    ]
+    assert len(changed) == 1
+
+    rows = eng.read_changes(1, 2).sort("url").take_all()
+    got = {r["url"]: (r["change_op"], r["lsn_from"], r["lsn_to"]) for r in rows}
+    assert got == {
+        u("aaa.org", 0): ("U", 1, 10),
+        u("aaa.org", 1): ("D", 2, 11),
+        u("aaa.org", 2): ("I", None, 12),
+    }
+    # untouched domains never appear
+    assert not any("aab.org" in k or "aad.org" in k for k in got)
+
+
+def test_read_changes_identity_is_empty(ray_session, tmp_path):
+    eng = CdcEngine(str(tmp_path / "lake"), EngineConfig(n_parts=4))
+    eng.apply(
+        [
+            _write_events(
+                tmp_path / "r1.parquet",
+                [(1, "I", "https://aaa.org/p/0000")],
+            )
+        ]
+    )
+    assert eng.read_changes(1, 1).count() == 0
+
+
+def test_read_changes_reinsert_after_delete(ray_session, tmp_path):
+    url = "https://aaa.org/p/0000"
+    eng = CdcEngine(str(tmp_path / "lake"), EngineConfig(n_parts=4))
+    eng.apply([_write_events(tmp_path / "r1.parquet", [(1, "I", url), (2, "D", url)])])
+    eng.apply([_write_events(tmp_path / "r2.parquet", [(3, "I", url)])])
+    rows = eng.read_changes(1, 2).take_all()
+    # tombstoned at v1 → live at v2 is an INSERT; lsn_from is the tombstone's
+    assert [(r["change_op"], r["lsn_from"], r["lsn_to"]) for r in rows] == [
+        ("I", 2, 3)
+    ]
