@@ -201,3 +201,141 @@ def cdc_change_feed(sf_dir: str):
 
 
 QUERIES["cdc_change_feed"] = (cdc_change_feed, _CHANGEFEED_SQL)
+
+
+# ---------------------------------------------------------------------------
+# Incremental aggregate maintenance — the canonical change-feed CONSUMER:
+# a derived per-domain stats table (live-doc count + lsn sum) maintained
+# ADDITIVELY from read_changes deltas instead of recomputed from the
+# snapshot. At 100 TB the derived table updates in O(changed rows); the
+# oracle recomputes the same stats from the full final LWW state, so the
+# delta math (I adds, D subtracts, U moves the lsn mass) is value-checked
+# end-to-end. All measures are group-additive by construction (count, sum)
+# — the standard restriction for incremental view maintenance.
+# ---------------------------------------------------------------------------
+_INCR_AGG_SQL = """
+    WITH d AS (
+      SELECT doc_id, source,
+             'https://' || source || '.example.net/doc/' ||
+               lpad(CAST(doc_id AS VARCHAR), 8, '0') AS url,
+             ROW_NUMBER() OVER (ORDER BY doc_id) AS rn
+      FROM documents
+    ), upd AS (
+      SELECT doc_id, ROW_NUMBER() OVER (ORDER BY doc_id) AS ur
+      FROM documents WHERE doc_id % 3 = 0
+    ), final AS (
+      SELECT d.source,
+             CASE WHEN upd.doc_id IS NOT NULL
+                  THEN (SELECT COUNT(*) FROM d) + upd.ur
+                  ELSE d.rn END AS lsn
+      FROM d LEFT JOIN upd ON d.doc_id = upd.doc_id
+      WHERE d.doc_id % 17 <> 0
+    )
+    SELECT 'https://' || source || '.example.net' AS domain,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(lsn) AS BIGINT) AS sum_lsn
+    FROM final GROUP BY source ORDER BY domain
+"""
+
+
+def _domain_of(urls: pa.Array) -> pa.Array:
+    # scheme://host prefix: everything before the path slash
+    import pyarrow.compute as _pc
+
+    parts = _pc.split_pattern(urls, "/")
+    scheme = _pc.list_element(parts, 0)
+    host = _pc.list_element(parts, 2)
+    return _pc.binary_join_element_wise(scheme, host, "//")
+
+
+def _domain_stats(ds: "rd.Dataset") -> dict[str, list[int]]:
+    """domain → [n_docs, sum_lsn] from (url, lsn) rows; driver dict is
+    O(domains), the aggregation itself is per-batch then tiny."""
+
+    def per_batch(b: pa.Table) -> pa.Table:
+        t = pa.table({"domain": _domain_of(b.column("url")), "lsn": b.column("lsn")})
+        g = t.group_by("domain").aggregate([("lsn", "count"), ("lsn", "sum")])
+        return g.rename_columns(["domain", "n", "s"])
+
+    parts = ds.map_batches(per_batch, batch_format="pyarrow").take_all()
+    out: dict[str, list[int]] = {}
+    for r in parts:
+        e = out.setdefault(r["domain"], [0, 0])
+        e[0] += r["n"]
+        e[1] += r["s"]
+    return out
+
+
+def cdc_incremental_agg(sf_dir: str):
+    """Maintain per-domain (n_docs, sum_lsn) incrementally: seed from the v1
+    snapshot, then apply ONLY the v1→v2 change feed — never re-reading the
+    final snapshot. Output equals the oracle's full recompute of v2."""
+    import os
+    import shutil
+    import tempfile
+
+    from radiant_portal_pipeline_ray.config import EngineConfig
+    from radiant_portal_pipeline_ray.pipelines.apply import CdcEngine
+    from radiant_portal_pipeline_ray.pipelines.flagship import (
+        documents_changelog,
+    )
+
+    work = tempfile.mkdtemp(prefix="cdc_incragg_")
+    try:
+        paths = documents_changelog(sf_dir, os.path.join(work, "changelog"))
+        eng = CdcEngine(os.path.join(work, "lake"), EngineConfig(n_parts=8))
+        for p in paths:
+            eng.apply([p])
+
+        stats = _domain_stats(eng.read_snapshot(["url", "lsn"], version=1))
+
+        changes = eng.read_changes(1, 2).materialize()
+
+        def delta(b: pa.Table) -> pa.Table:
+            op = b.column("change_op")
+            sign = pc.case_when(
+                pc.make_struct(
+                    pc.equal(op, "I"), pc.equal(op, "D")
+                ),
+                pa.scalar(1, pa.int64()),
+                pa.scalar(-1, pa.int64()),
+                pa.scalar(0, pa.int64()),
+            )
+            new_mass = pc.multiply(
+                pc.coalesce(b.column("lsn_to"), pa.scalar(0, pa.int64())),
+                pc.cast(pc.not_equal(op, "D"), pa.int64()),
+            )
+            # for U rows the OLD live lsn leaves the group; for D the old
+            # row leaves; I contributes nothing old
+            old_mass = pc.multiply(
+                pc.coalesce(b.column("lsn_from"), pa.scalar(0, pa.int64())),
+                pc.cast(pc.not_equal(op, "I"), pa.int64()),
+            )
+            t = pa.table(
+                {
+                    "domain": _domain_of(b.column("url")),
+                    "dn": sign,
+                    "dsum": pc.subtract(new_mass, old_mass),
+                }
+            )
+            g = t.group_by("domain").aggregate([("dn", "sum"), ("dsum", "sum")])
+            return g.rename_columns(["domain", "dn", "dsum"])
+
+        for r in changes.map_batches(delta, batch_format="pyarrow").take_all():
+            e = stats.setdefault(r["domain"], [0, 0])
+            e[0] += r["dn"]
+            e[1] += r["dsum"]
+
+        doms = sorted(d for d, (n, _s) in stats.items() if n > 0)
+        return pa.table(
+            {
+                "domain": pa.array(doms, type=pa.string()),
+                "n_docs": pa.array([stats[d][0] for d in doms], type=pa.int64()),
+                "sum_lsn": pa.array([stats[d][1] for d in doms], type=pa.int64()),
+            }
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+QUERIES["cdc_incremental_agg"] = (cdc_incremental_agg, _INCR_AGG_SQL)
