@@ -1080,8 +1080,8 @@ def dd_passage_dedup(sf_dir: str, width: int = _PASSAGE_WIDTH):
     )
 
     def bucket_fn(t: pa.Table) -> pa.Table:
-        mins = t.group_by("h").aggregate([("okey", "min")])
-        j = t.join(mins, keys="h")
+        mins = t.group_by(["h_hi", "h_lo"]).aggregate([("okey", "min")])
+        j = t.join(mins, keys=["h_hi", "h_lo"])
         dup = pc.cast(
             pc.not_equal(j.column("okey"), j.column("okey_min")), pa.int64()
         )
@@ -1095,7 +1095,7 @@ def dd_passage_dedup(sf_dir: str, width: int = _PASSAGE_WIDTH):
             }
         )
 
-    partial = exchange_group(exploded, ["h"], 64, bucket_fn)
+    partial = exchange_group(exploded, ["h_hi", "h_lo"], 64, bucket_fn)
 
     def fold(t: pa.Table) -> pa.Table:
         g = t.group_by("doc_id").aggregate(

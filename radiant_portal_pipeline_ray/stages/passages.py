@@ -60,21 +60,26 @@ def _join_windows(mat: np.ndarray) -> np.ndarray:
     return out
 
 
-def md5_hex_array(strings: np.ndarray) -> pa.Array:
-    """Full 128-bit md5 hex per string (C-backed hashlib per row)."""
-    return pa.array(
-        [hashlib.md5(s.encode("utf-8")).hexdigest() for s in strings],
-        type=pa.string(),
-    )
+def md5_u64_pair(strings: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Full 128-bit md5 per string as two uint64 columns (16 shuffle bytes
+    instead of a 32-char hex string; collision-safe for exact dedup at any
+    realistic corpus size). C-backed hashlib per row, no per-byte Python."""
+    if len(strings) == 0:
+        e = np.empty(0, dtype=np.uint64)
+        return e, e
+    buf = b"".join(hashlib.md5(s.encode("utf-8")).digest() for s in strings)
+    m = np.frombuffer(buf, dtype=">u8").reshape(-1, 2).astype(np.uint64)
+    return m[:, 0], m[:, 1]
 
 
 def explode_fixed_passages(batch: pa.Table, width: int, text_col: str = "text") -> pa.Table:
     """1→N explode into NON-OVERLAPPING complete ``width``-word passages.
 
     Output (one row per passage occurrence, compact enough to shuffle):
-    ``h`` — md5 hex of the passage text, ``doc_id``, and ``okey`` — the
-    packed global order ``doc_id * 2^20 + passage_no`` whose minimum per
-    ``h`` is the canonical first occurrence."""
+    ``h_hi``/``h_lo`` — the 128-bit md5 of the passage text as two uint64
+    columns, ``doc_id``, and ``okey`` — the packed global order
+    ``doc_id * 2^20 + passage_no`` whose minimum per hash is the canonical
+    first occurrence."""
     n = batch.num_rows
     text = batch.column(text_col)
     doc_ids = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
@@ -89,9 +94,11 @@ def explode_fixed_passages(batch: pa.Table, width: int, text_col: str = "text") 
     if passage_no.size:
         assert int(passage_no.max()) < _MAX_WINDOWS_PER_DOC
     docs = doc_ids[doc_row]
+    h_hi, h_lo = md5_u64_pair(passages)
     return pa.table(
         {
-            "h": md5_hex_array(passages),
+            "h_hi": pa.array(h_hi, type=pa.uint64()),
+            "h_lo": pa.array(h_lo, type=pa.uint64()),
             "doc_id": pa.array(docs, type=pa.int64()),
             "okey": pa.array(
                 docs * _MAX_WINDOWS_PER_DOC + passage_no, type=pa.int64()

@@ -37,11 +37,16 @@ def test_explode_fixed_passages_windows_and_order_keys():
     assert out.column("doc_id").to_pylist() == [0, 0, 0, 1]
     okeys = out.column("okey").to_pylist()
     assert okeys == [0 * (1 << 20) + 0, 0 * (1 << 20) + 1, 0 * (1 << 20) + 2, 1 << 20]
-    exp = [
-        hashlib.md5(s.encode()).hexdigest()
+    exp_hi = [
+        int.from_bytes(hashlib.md5(s.encode()).digest()[:8], "big")
         for s in ["a b", "c d", "e f", "x y"]
     ]
-    assert out.column("h").to_pylist() == exp
+    exp_lo = [
+        int.from_bytes(hashlib.md5(s.encode()).digest()[8:], "big")
+        for s in ["a b", "c d", "e f", "x y"]
+    ]
+    assert out.column("h_hi").to_pylist() == exp_hi
+    assert out.column("h_lo").to_pylist() == exp_lo
 
 
 def test_sliding_ngram_hashes_stay_inside_docs():
