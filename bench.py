@@ -140,8 +140,14 @@ def run_bench() -> dict:
         # 2 incremental rounds of ~1M events: bigger rounds amortize the
         # per-round barriers (plan + materialize + sort sampling + commit)
         # while still exercising incremental watermarks, carried-forward
-        # merge and salting migration across rounds
-        step = max(1, len(paths) // 2)
+        # merge and salting migration across rounds. GRAFT_BENCH_ROUNDS
+        # overrides: the >10M-event validation runs use more, sf0.1-sized
+        # rounds so one round's materialized delta (events x ~3KB html)
+        # stays inside this sandbox's object-store + spill-disk budget —
+        # on a real cluster each node brings its own spill disk, but here
+        # a single 10M-event round spills ~45GB into one /tmp.
+        n_rounds = int(os.environ.get("GRAFT_BENCH_ROUNDS", "2"))
+        step = max(1, len(paths) // max(1, n_rounds))
         for i in range(0, len(paths), step):
             r = eng.apply(paths[i : i + step])
             rounds.append(round(r["wall_s"], 3))

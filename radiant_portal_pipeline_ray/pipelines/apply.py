@@ -93,9 +93,27 @@ def _resolve_paths(changelog: str | list[str]) -> list[str]:
 
 
 class CdcEngine:
-    def __init__(self, lake_root: str, config: EngineConfig | None = None):
-        self.lake = Lake(lake_root)
+    def __init__(
+        self,
+        lake_root: str,
+        config: EngineConfig | None = None,
+        lake: Lake | None = None,
+    ):
+        # an explicit Lake carries its fsspec filesystem with it — required
+        # when lake_root is an ALREADY-STRIPPED object-store path (e.g. the
+        # '/lake' a memory:// root strips to), which Lake(root) would
+        # otherwise mistake for a POSIX path and os.makedirs locally
+        self.lake = lake if lake is not None else Lake(lake_root)
         self.cfg = config or EngineConfig()
+        #: when True, this apply round makes NO routing-state changes: no
+        #: bootstrap pre-salt, no new salting decisions (pending migrations
+        #: already committed still execute — they move carried rows, not the
+        #: url→part map). apply_backlog sets this on every writer so the
+        #: partition-disjointness it scheduled under stays valid for the
+        #: whole backlog; without it a mid-backlog re-salt re-routes urls
+        #: into partitions another concurrent job owns, and the loser's
+        #: events land below the winner's advanced watermark — silent loss.
+        self.freeze_routing = False
         #: when True, stash ``Dataset.stats()`` of the last apply's normalize
         #: and merge stages on the engine (perf debugging only)
         self.debug_stats = False
@@ -197,7 +215,7 @@ class CdcEngine:
         # url read (KBs per file) counts events per domain; the decisions'
         # migration lists are discarded (nothing to migrate). Deterministic
         # (exact counts), so a retried round re-derives the same salt map.
-        if current is None and cfg.salt_threshold_rows:
+        if current is None and cfg.salt_threshold_rows and not self.freeze_routing:
             partitioner.observe_domain_rows(self._bootstrap_domain_counts(paths))
 
         # ---- schema discovery & unification (driver-side footer reads,
@@ -494,12 +512,30 @@ class CdcEngine:
 
         remaining = list(range(len(jobs)))
         out = []
+        # Committed-but-unexecuted migrations run inside the FIRST apply of
+        # the backlog and touch partitions the url-only scout cannot see
+        # (the drained old parts and the salt targets receive carried rows).
+        # Run that first job solo; afterwards pending is drained and — with
+        # routing frozen below — stays empty for the rest of the backlog.
+        first_solo = bool(current is not None and current.pending_migrations)
 
         def _fresh_writer() -> "CdcEngine":
-            eng = CdcEngine(self.lake.root, self.cfg)
-            if self.lake.filesystem is not None:
-                eng.lake = Lake(self.lake.root, self.lake.filesystem)
+            eng = CdcEngine(
+                self.lake.root,
+                self.cfg,
+                lake=Lake(self.lake.root, self.lake.filesystem)
+                if self.lake.filesystem is not None
+                else None,
+            )
+            eng.freeze_routing = True
             return eng
+
+        def _apply_frozen(paths) -> dict:
+            prev, self.freeze_routing = self.freeze_routing, True
+            try:
+                return self.apply(paths)
+            finally:
+                self.freeze_routing = prev
 
         def _run_concurrent(wave: list[int]) -> list[dict]:
             from concurrent.futures import ThreadPoolExecutor
@@ -508,15 +544,16 @@ class CdcEngine:
                 try:
                     return _fresh_writer().apply(jobs[i]["paths"])
                 except ConcurrentWriterConflict:
-                    # routing state (salt decisions) diverged mid-wave; the
-                    # failed writer's staged files are unreferenced orphans
-                    # and its watermarks never advanced — safe to re-run.
+                    # a concurrent writer advanced a merged-from partition;
+                    # the failed writer's staged files are unreferenced
+                    # orphans and its watermarks never advanced — safe to
+                    # re-run sequentially after the wave.
                     return None
 
             with ThreadPoolExecutor(max_workers=len(wave)) as ex:
                 reps = list(ex.map(one, wave))
             return [
-                rep if rep is not None else self.apply(jobs[i]["paths"])
+                rep if rep is not None else _apply_frozen(jobs[i]["paths"])
                 for i, rep in zip(wave, reps)
             ]
 
@@ -531,8 +568,9 @@ class CdcEngine:
                 ),
                 key=lambda i: (jobs[i].get("priority", 1_000_000), i),
             )
-            if max_concurrency <= 1:
+            if max_concurrency <= 1 or first_solo:
                 wave = runnable[:1]
+                first_solo = False
             else:
                 # greedy by (priority, submission): add a runnable job to the
                 # wave only if its partitions are disjoint from every job
@@ -548,7 +586,7 @@ class CdcEngine:
             for i in wave:
                 remaining.remove(i)
             reps = (
-                [self.apply(jobs[wave[0]]["paths"])]
+                [_apply_frozen(jobs[wave[0]]["paths"])]
                 if len(wave) == 1
                 else _run_concurrent(wave)
             )
@@ -556,7 +594,76 @@ class CdcEngine:
                 rep["job_index"] = i
                 rep["priority"] = jobs[i].get("priority", 1_000_000)
                 out.append(rep)
+
+        # routing decisions deferred by freeze_routing: fold the per-domain
+        # live-row observations from every wave (max — they are absolute
+        # counts, same semantic as Partitioner.observe_domain_rows) and make
+        # the salting decision ONCE, now that no scheduled job depends on
+        # the old map. Migrations execute on the next apply as usual.
+        totals: dict[str, int] = {}
+        for rep in out:
+            for d, n in rep.get("domain_rows", {}).items():
+                if int(n) > totals.get(d, 0):
+                    totals[d] = int(n)
+        routed = self.commit_routing_decisions(totals)
+        if routed:
+            for rep in out:
+                rep.setdefault("post_backlog_salted", routed["salted_domains"])
         return out
+
+    def commit_routing_decisions(self, domain_totals: dict[str, int]) -> dict | None:
+        """Evaluate hot-domain salting from observed live-row counts and, if
+        any domain crosses the threshold, publish a ROUTING-ONLY manifest
+        version: identical partitions/watermarks/schema, updated salt_map /
+        pending_migrations / next_part. Used by ``apply_backlog`` (whose
+        waves run with ``freeze_routing`` set); retries on version conflict
+        by re-evaluating against the new current manifest."""
+        if not domain_totals:
+            return None
+        while True:
+            current = self.lake.current_manifest()
+            if current is None:
+                return None
+            partitioner = Partitioner(
+                n_parts=self.cfg.n_parts,
+                salt_map=dict(current.salt_map),
+                next_part=(
+                    current.next_part
+                    if current.next_part is not None
+                    else self.cfg.n_parts
+                ),
+                salt_threshold_rows=self.cfg.salt_threshold_rows,
+                salt_target_rows=self.cfg.salt_target_rows,
+                salt_headroom=self.cfg.salt_headroom,
+            )
+            decisions = partitioner.observe_domain_rows(domain_totals)
+            if not decisions:
+                return None
+            pending = dict(current.pending_migrations)
+            for d in decisions:
+                pending[d.domain] = d.old_parts
+            man = Manifest(
+                version=current.version + 1,
+                txn_id=self.lake.new_txn_id(),
+                parent_version=current.version,
+                schema=current.schema,
+                n_parts=current.n_parts,
+                partitions=dict(current.partitions),
+                salt_map=partitioner.salt_map,
+                salt_hash_version=current.salt_hash_version,
+                salt_hash_fingerprint=current.salt_hash_fingerprint,
+                pending_migrations=pending,
+                next_part=partitioner.next_part,
+                metrics={"routing_only": True},
+            )
+            try:
+                self.lake.commit(man)
+                return {
+                    "version": man.version,
+                    "salted_domains": [d.domain for d in decisions],
+                }
+            except CommitConflict:
+                continue
 
     # ------------------------------------------------------------------
     @staticmethod
@@ -675,6 +782,17 @@ class CdcEngine:
                     for i in range(md.num_row_groups)
                 )
         delta_bytes = delta_bytes or (len(units) << 24)
+        # migration rounds push the rewritten partitions' carried rows
+        # through the SAME split/subsplit tasks — count their bytes too, or
+        # a small-delta/big-migration round under-sizes n_groups and one
+        # subsplit task concatenates far more than the per-group heap bound
+        for f in mig_files:
+            try:
+                delta_bytes += (
+                    lake_fs.size(f) if lake_fs is not None else os.path.getsize(f)
+                )
+            except (OSError, FileNotFoundError):
+                pass
         plan = two_level_plan(
             len(chunks) + len(mig_chunks), n_buckets, delta_bytes
         )
@@ -995,7 +1113,15 @@ class CdcEngine:
         for m in meta_rows:
             for d, n in _json.loads(m["top_domains"]).items():
                 domain_totals[d] = domain_totals.get(d, 0) + int(n)
-        decisions = partitioner.observe_domain_rows(domain_totals)
+        if self.freeze_routing:
+            # backlog mode: the scheduler's partition-disjointness was
+            # computed under the CURRENT salt_map; deciding new salts here
+            # would re-route urls mid-backlog (see __init__ docstring).
+            # The observed counts flow back in the report so apply_backlog
+            # can make the decision ONCE, after all waves complete.
+            decisions = []
+        else:
+            decisions = partitioner.observe_domain_rows(domain_totals)
         pending_next = {d.domain: d.old_parts for d in decisions}
 
         # parts fully drained by THIS round's executed migrations
@@ -1039,6 +1165,8 @@ class CdcEngine:
                 "wall_s": time.time() - t0,
             }
         )
+        if self.freeze_routing:
+            report["domain_rows"] = domain_totals
         if self.cfg.run_qa:
             from radiant_portal_pipeline_ray.stages.qa import (
                 cross_exclusive,

@@ -71,15 +71,17 @@ def _diff_kernel(lt: pa.Table, rt: pa.Table) -> pa.Table:
         pc.not_equal(pc.fill_null(lf, -1), pc.fill_null(lt_, -1)),
     )
 
-    n = j.num_rows
-    op = np.full(n, None, dtype=object)
-    op[np.asarray(is_i.to_numpy(zero_copy_only=False), dtype=bool)] = "I"
-    op[np.asarray(is_u.to_numpy(zero_copy_only=False), dtype=bool)] = "U"
-    op[np.asarray(is_d.to_numpy(zero_copy_only=False), dtype=bool)] = "D"
-    keep = pa.array([o is not None for o in op], type=pa.bool_())
+    # one-pass Arrow classification: nested if_else selects the op label,
+    # keep = any-of-three — no Python-object arrays, no per-row loop
+    op = pc.if_else(
+        is_i,
+        pa.scalar("I"),
+        pc.if_else(is_u, pa.scalar("U"), pc.if_else(is_d, pa.scalar("D"), pa.scalar(None, pa.string()))),
+    )
+    keep = pc.or_(pc.or_(is_i, is_u), is_d)
     out = pa.table(
         {
-            "change_op": pa.array(op, type=pa.string()),
+            "change_op": op,
             "url": j.column("url"),
             "lsn_from": pc.cast(lf, pa.int64()),
             "lsn_to": pc.cast(lt_, pa.int64()),

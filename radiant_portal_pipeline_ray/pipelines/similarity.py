@@ -322,7 +322,10 @@ def _ivf_training_sample(
             dtype=np.float64,
         )
     rate = min(1.0, 3.0 * sample_limit / n)
-    gate = np.uint64(int(rate * (2.0**64 - 1)))
+    # integer clamp: at rate==1.0, float rounding makes int(rate*(2^64-1))
+    # equal 2^64, which overflows uint64 (sample_limit < n <= 3*sample_limit
+    # lands here) — admit-all is the correct gate in that regime
+    gate = np.uint64(min(int(rate * 2.0**64), 2**64 - 1))
     keep_h: list[np.ndarray] = []
     keep_e: list[np.ndarray] = []
     for rb in pf.iter_batches(batch_size=8192, columns=["vec_id", "embedding"]):

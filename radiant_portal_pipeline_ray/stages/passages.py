@@ -91,8 +91,12 @@ def explode_fixed_passages(batch: pa.Table, width: int, text_col: str = "text") 
     passages = _join_windows(mat)
     doc_row = p[keep][::width]
     passage_no = chunk[keep][::width]
-    if passage_no.size:
-        assert int(passage_no.max()) < _MAX_WINDOWS_PER_DOC
+    if passage_no.size and int(passage_no.max()) >= _MAX_WINDOWS_PER_DOC:
+        raise ValueError(
+            f"document has >= 2^20 passages ({int(passage_no.max()) + 1}); "
+            "okey packing (doc_id * 2^20 + passage_no) would corrupt "
+            "first-occurrence attribution — raise _MAX_WINDOWS_PER_DOC"
+        )
     docs = doc_ids[doc_row]
     h_hi, h_lo = md5_u64_pair(passages)
     return pa.table(

@@ -45,6 +45,7 @@ from __future__ import annotations
 import json
 import os
 import re
+import threading
 import time
 import uuid
 from dataclasses import dataclass, field as dc_field
@@ -58,6 +59,10 @@ from radiant_portal_pipeline_ray.schemas import (
 )
 
 _MANIFEST_RE = re.compile(r"^manifest-v(\d{12})\.json$")
+
+# CAS for memory:// lakes: MemoryFileSystem state is per-process, so a
+# process-wide lock around exists+put is a complete mutual exclusion
+_MEMORY_CAS_LOCK = threading.Lock()
 
 
 class CommitConflict(Exception):
@@ -193,13 +198,11 @@ class Lake:
         if filesystem is None and "://" in root:
             import fsspec
 
+            # fsspec's LocalFileSystem (a file:// root) is POSIX underneath
+            # but deliberately stays on the object-store code path: it is
+            # how tests exercise copy-promote / claim-commit semantics
+            # cross-process without a real object store.
             filesystem, root = fsspec.core.url_to_fs(root)
-            if type(filesystem).__name__ == "LocalFileSystem":
-                # fsspec's LocalFileSystem is still POSIX underneath, but
-                # keep it on the object-store code path: a file:// root is
-                # how tests exercise copy-promote / put-verify semantics
-                # cross-process without a real object store.
-                pass
         #: fsspec AbstractFileSystem, or None for the POSIX fast path
         self.filesystem = filesystem
         self.root = root
@@ -250,14 +253,22 @@ class Lake:
             return self.filesystem.isdir(path)
         return os.path.isdir(path)
 
-    def _mtime(self, path: str) -> float:
+    def _mtime(self, path: str, default: float = 0.0) -> float:
+        """Modification time, or ``default`` when the backend can't say.
+
+        Callers choose the conservative fallback: GC's quiescence checks on
+        FILES pass ``default=now`` (an unknown-age file must read as brand
+        new, never as infinitely old — deleting an in-flight writer's
+        freshly promoted file would publish a manifest referencing deleted
+        data), while directory probes pass 0.0 so the per-file maximum
+        dominates. On a backend with no ``modified()`` at all, GC therefore
+        deletes nothing — inert, not unsafe.
+        """
         if self.filesystem is not None:
             try:
                 return self.filesystem.modified(path).timestamp()
             except (FileNotFoundError, IsADirectoryError, NotImplementedError):
-                # object stores have no directory mtime; treat a bare
-                # prefix as old so quiescence falls to the per-file checks
-                return 0.0
+                return default
         return os.path.getmtime(path)
 
     def _remove(self, path: str) -> None:
@@ -382,20 +393,16 @@ class Lake:
             out[part] = rels
         return out
 
-    def _put_manifest_if_absent(self, final: str, data: bytes, txn_id: str) -> bool:
-        """Atomic put-if-absent of one manifest object; True iff WE published
-        it. POSIX: fsync + hard-link CAS. Object store: exists → put →
-        read-back verify (a real S3 backend swaps the put for a conditional
-        ``If-None-Match: *`` PUT; semantics of the caller's retry loop are
-        identical)."""
-        if self.filesystem is not None:
-            fs = self.filesystem
-            if fs.exists(final):
-                return False
-            fs.pipe_file(final, data)
-            return fs.cat_file(final) == data
-        tmp = self._join(
-            self.manifest_dir, f".tmp-{txn_id}-{os.path.basename(final)}"
+    @staticmethod
+    def _fs_protocol(fs) -> str:
+        p = getattr(fs, "protocol", "")
+        return p if isinstance(p, str) else (p[0] if p else "")
+
+    def _posix_link_cas(self, final: str, data: bytes, txn_id: str) -> bool:
+        """fsync + hard-link put-if-absent on a real POSIX path — link(2) is
+        atomic and fails with EEXIST if anyone else got there first."""
+        tmp = os.path.join(
+            os.path.dirname(final), f".tmp-{txn_id}-{os.path.basename(final)}"
         )
         with open(tmp, "wb") as f:
             f.write(data)
@@ -408,6 +415,55 @@ class Lake:
             return False
         os.remove(tmp)
         return True
+
+    def _put_manifest_if_absent(self, final: str, data: bytes, txn_id: str) -> bool:
+        """Atomic put-if-absent of one manifest object; True iff WE published
+        it. This is the lake's ONLY concurrency primitive, so it must be a
+        real compare-and-swap on every backend — an exists→put→read-back
+        probe is NOT one (two racing writers can each read back their own
+        bytes in an A-exists, B-exists, B-put, B-verify, A-put, A-verify
+        interleaving, silently dropping B's commit). Per backend:
+
+        - POSIX (no fsspec): fsync + hard-link CAS (link(2) is atomic).
+        - ``file://`` via fsspec: same hard-link CAS — the stripped root is
+          a real local path.
+        - ``s3://``: conditional PUT with ``If-None-Match: *`` (S3 rejects
+          with 412 PreconditionFailed if the key exists; strongly
+          consistent since 2020). GCS/Azure have equivalents
+          (``x-goog-if-generation-match: 0`` / ``If-None-Match: *``) —
+          wire them here when those backends are in play.
+        - ``memory://``: a process-wide lock around exists+put.
+          MemoryFileSystem state is per-process by construction, so the
+          lock covers every writer that can possibly see the store.
+        - anything else: refuse rather than run a known-unsafe probe.
+        """
+        if self.filesystem is None:
+            return self._posix_link_cas(final, data, txn_id)
+        fs = self.filesystem
+        proto = self._fs_protocol(fs)
+        if proto in ("file", "local"):
+            return self._posix_link_cas(final, data, txn_id)
+        if proto in ("s3", "s3a"):
+            try:
+                fs.pipe_file(final, data, IfNoneMatch="*")
+                return True
+            except FileExistsError:
+                return False
+            except OSError as e:
+                if "PreconditionFailed" in str(e) or "412" in str(e):
+                    return False
+                raise
+        if proto == "memory":
+            with _MEMORY_CAS_LOCK:
+                if fs.exists(final):
+                    return False
+                fs.pipe_file(final, data)
+                return True
+        raise NotImplementedError(
+            f"no atomic put-if-absent for fsspec protocol {proto!r}; "
+            "add the backend's conditional-PUT here before running "
+            "concurrent writers against it"
+        )
 
     def commit(self, manifest: Manifest) -> Manifest:
         """Publish ``manifest`` as version ``manifest.version`` atomically.
@@ -436,7 +492,6 @@ class Lake:
         # reclaims any leftover staging dir anyway.
         sd = self._join(self.staging_root, manifest.txn_id)
         if self._isdir(sd):
-            import threading
 
             def _cleanup(path=sd):
                 try:
@@ -493,7 +548,7 @@ class Lake:
                     # quiescence guard: a freshly promoted file may belong to
                     # an in-flight commit (promote→commit window); only
                     # delete once it is older than staging_age_s
-                    if now - self._mtime(path) < staging_age_s:
+                    if now - self._mtime(path, default=now) < staging_age_s:
                         continue
                     self._remove(path)
                     removed.append(rel)
@@ -502,9 +557,9 @@ class Lake:
         for txn in self._listdir(self.staging_root):
             sd = self._join(self.staging_root, txn)
             files_in = self._walk_files(sd)
-            newest = self._mtime(sd)
+            newest = self._mtime(sd, default=0.0)
             for fp in files_in:
-                newest = max(newest, self._mtime(fp))
+                newest = max(newest, self._mtime(fp, default=now))
             if now - newest < staging_age_s:
                 continue
             for fp in files_in:
