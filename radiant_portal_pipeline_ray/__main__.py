@@ -7,6 +7,7 @@ contract). Subcommands mirror the reference's operational surface
 
     apply    --lake L --changelog DIR_OR_FILES [--n-parts N] [--exchange task|sort|actor]
     compact  --lake L [--min-files K] [--purge-tombstones]
+    reshard  --lake L --new-n-parts N [--allow-rewind]
     gc       --lake L [--keep-versions K] [--staging-age-s S]
     qa       --lake L | --tenant-root D [--tenant T]
     show     --lake L            # manifest summary
@@ -72,6 +73,13 @@ def main(argv: list[str] | None = None) -> int:
     cp.add_argument("--min-files", type=int, default=2)
     cp.add_argument("--purge-tombstones", action="store_true")
 
+    rp = sub.add_parser(
+        "reshard", help="change the lake's base partition count (full rewrite)"
+    )
+    _tenant_args(rp)
+    rp.add_argument("--new-n-parts", type=int, required=True)
+    rp.add_argument("--allow-rewind", action="store_true")
+
     gp = sub.add_parser("gc", help="prune old manifests + orphaned files")
     _tenant_args(gp)
     gp.add_argument("--keep-versions", type=int, default=2)
@@ -89,7 +97,7 @@ def main(argv: list[str] | None = None) -> int:
 
     args = p.parse_args(argv)
 
-    needs_ray = args.cmd in ("apply", "compact", "qa")
+    needs_ray = args.cmd in ("apply", "compact", "reshard", "qa")
     owns_session = False
     if needs_ray:
         import ray
@@ -112,6 +120,16 @@ def main(argv: list[str] | None = None) -> int:
                 _resolve_lake(args),
                 min_files=args.min_files,
                 purge_tombstones=args.purge_tombstones,
+            )
+        elif args.cmd == "reshard":
+            from radiant_portal_pipeline_ray.config import EngineConfig
+            from radiant_portal_pipeline_ray.pipelines.maintenance import reshard
+
+            out = reshard(
+                _resolve_lake(args),
+                args.new_n_parts,
+                EngineConfig(n_parts=args.new_n_parts),
+                allow_rewind=args.allow_rewind,
             )
         elif args.cmd == "gc":
             from radiant_portal_pipeline_ray.state.manifest import Lake

@@ -305,3 +305,202 @@ def compact(
         "purge_horizon_us": purge_horizon_us,
         "commit_attempts": attempt,
     }
+
+
+class ReshardPrecondition(Exception):
+    """The lake is not in a state reshard can safely transform (pending
+    migrations, or non-uniform watermarks without ``allow_rewind``)."""
+
+
+def reshard(
+    lake_root: str,
+    new_n_parts: int,
+    config: EngineConfig | None = None,
+    allow_rewind: bool = False,
+) -> dict:
+    """Change the lake's BASE hash-partition count — the one routing
+    parameter ``apply`` refuses to change in place (its n_parts guard).
+
+    A lake sized for year-1 volume eventually needs more partitions; the
+    reference's analogue is a StarRocks table re-partition (full rewrite
+    behind a swap). Here it is one exactly-once transaction: every state
+    row (live + tombstones) is re-routed by ``hash(domain) % new_n_parts``
+    through the keyed task exchange and rewritten into staged per-partition
+    files → promote → manifest commit with ``n_parts=new_n_parts``.
+
+    Invariants preserved:
+    - **doc_ids are stable** — rows keep their ids. Uniqueness holds
+      because ids embed the ALLOCATING partition in their high bits: a new
+      partition only ever allocates from its own base, and every old
+      partition that ever allocated keeps an allocation-guard entry
+      (``next_doc_seq`` carried, no files) in the new manifest so a future
+      salt allocation reusing that part id continues its sequence.
+    - **watermarks**: a new partition receives urls from MANY old
+      partitions, so its safe watermark is the MINIMUM over the old ones
+      (per-partition watermarks are naturally distinct — each is its own
+      stream's max applied lsn). Rewinding to the global min is harmless
+      in normal operation (new changelog files only carry new lsns) and
+      idempotent under LWW if already-processed files are re-submitted —
+      EXCEPT when tombstones above the min were purged by
+      ``compact(purge_tombstones=True)``: a re-submitted old insert could
+      then resurrect a deleted url. Reshard detects purge lineage in the
+      current manifest and refuses unless ``allow_rewind=True``.
+    - **salting resets**: the salt map references partition ids in the old
+      domain space, so it is cleared; hot domains re-salt organically on
+      later applies (or immediately via CdcEngine.commit_routing_decisions).
+
+    Pending migrations must be drained first (run one apply).
+    """
+    import numpy as np  # noqa: F401  (exchange kernels)
+
+    from radiant_portal_pipeline_ray.functions.hashing import (
+        assign_parts,
+        extract_domain,
+    )
+    from radiant_portal_pipeline_ray.stages.taskshuffle import exchange_group
+
+    cfg = config or EngineConfig()
+    if new_n_parts < 1:
+        raise ValueError(f"new_n_parts must be >= 1, got {new_n_parts}")
+    lake = Lake(lake_root)
+    current = lake.current_manifest()
+    if current is None:
+        raise ReshardPrecondition("empty lake: nothing to reshard")
+    if current.pending_migrations:
+        raise ReshardPrecondition(
+            "pending salt migrations exist; run one apply to drain them "
+            "before resharding"
+        )
+    gmin = min(st.watermark_lsn for st in current.partitions.values())
+    purged = any(
+        entry.get("purged_tombstones")
+        for st in current.partitions.values()
+        for entry in st.lineage
+    )
+    if purged and not allow_rewind:
+        raise ReshardPrecondition(
+            "tombstones were purged on this lake "
+            "(compact(purge_tombstones=True) in lineage); resharding "
+            f"rewinds watermarks to {gmin} and a re-submitted pre-purge "
+            "changelog file could resurrect deleted urls. Pass "
+            "allow_rewind=True if old changelog files are never re-applied"
+        )
+    if new_n_parts == current.n_parts and not current.salt_map:
+        return {"noop": True, "version": current.version}
+
+    txn_id = lake.new_txn_id()
+    staging = lake.staging_dir(txn_id)
+    rewriter = _make_rewriter(
+        txn_id,
+        staging,
+        current.schema,
+        cfg.target_rows_per_file,
+        cfg.compression,
+        None,
+        filesystem=lake.filesystem,
+    )
+
+    def route(b: pa.Table) -> pa.Table:
+        urls = b.column("url")
+        newp = assign_parts(urls, extract_domain(urls), new_n_parts, {})
+        return b.set_column(
+            b.schema.get_field_index("part"),
+            pa.field("part", pa.int32()),
+            pc.cast(newp, pa.int32()),
+        )
+
+    def rewrite_bucket(g: pa.Table) -> pa.Table:
+        import numpy as np
+
+        if g.num_rows == 0:
+            return _META.empty_table()
+        parts_np = g.column("part").to_numpy(zero_copy_only=False)
+        order = np.argsort(parts_np, kind="stable")
+        gs = g.take(pa.array(order)).combine_chunks()
+        sp = parts_np[order]
+        starts = np.concatenate([[0], np.flatnonzero(np.diff(sp)) + 1, [len(sp)]])
+        metas = [
+            rewriter(gs.slice(int(starts[i]), int(starts[i + 1] - starts[i])))
+            for i in range(len(starts) - 1)
+            if starts[i + 1] > starts[i]
+        ]
+        return pa.concat_tables(metas)
+
+    files = [
+        lake.abspath(f) for st in current.partitions.values() for f in st.files
+    ]
+    ds = rd.read_parquet(files, filesystem=lake.pyarrow_fs()).map_batches(
+        route, batch_format="pyarrow"
+    )
+    n_buckets = max(16, min(new_n_parts, 256))
+    meta_rows = exchange_group(ds, ["part"], n_buckets, rewrite_bucket).take_all()
+    lake.promote_staged_files(txn_id)
+
+    now = time.time()
+    lineage_entry = {
+        "txn_id": txn_id,
+        "ts": now,
+        "resharded_from": current.n_parts,
+        "resharded_to": new_n_parts,
+    }
+    parts: dict[int, PartitionState] = {}
+    for m in meta_rows:
+        p = int(m["part"])
+        old = current.partitions.get(p)
+        parts[p] = PartitionState(
+            files=[f"data/part={p}/{fn}" for fn in m["files"]],
+            rows=int(m["rows"]),
+            tombstones=int(m["tombstones"]),
+            bytes=int(m["bytes"]),
+            watermark_lsn=gmin,
+            next_doc_seq=old.next_doc_seq if old else 0,
+            lineage=[lineage_entry],
+        )
+    # fileless new partitions still need explicit states at the global
+    # watermark — a missing base partition reads as watermark -1 and drags
+    # min_watermark() to a full-history re-read on the next apply
+    for p in range(new_n_parts):
+        if p not in parts:
+            old = current.partitions.get(p)
+            parts[p] = PartitionState(
+                watermark_lsn=gmin,
+                next_doc_seq=old.next_doc_seq if old else 0,
+                lineage=[lineage_entry],
+            )
+    # allocation guards: old partitions outside the new base range that
+    # ever allocated doc ids keep their counters so a future salt
+    # allocation reusing the id cannot collide
+    for p, st in current.partitions.items():
+        if p >= new_n_parts and st.next_doc_seq:
+            parts[p] = PartitionState(
+                watermark_lsn=gmin,
+                next_doc_seq=st.next_doc_seq,
+                lineage=[lineage_entry],
+            )
+
+    manifest = Manifest(
+        version=current.version + 1,
+        txn_id=txn_id,
+        parent_version=current.version,
+        schema=current.schema,
+        n_parts=new_n_parts,
+        partitions=parts,
+        salt_map={},
+        salt_hash_version=current.salt_hash_version,
+        salt_hash_fingerprint=current.salt_hash_fingerprint,
+        pending_migrations={},
+        next_part=max(
+            new_n_parts,
+            (current.next_part if current.next_part is not None else 0),
+        ),
+        metrics={"resharded_from": current.n_parts},
+    )
+    committed = lake.commit(manifest)  # conflict => concurrent writer; abort
+    return {
+        "noop": False,
+        "version": committed.version,
+        "txn_id": txn_id,
+        "n_parts": new_n_parts,
+        "parts_written": len(meta_rows),
+        "watermark": gmin,
+    }

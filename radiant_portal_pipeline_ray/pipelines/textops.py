@@ -280,3 +280,146 @@ def t_repetition_stats(sf_dir: str):
         repetition_stats, batch_format="pyarrow"
     )
     return ds.sort("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Data mixing: per-language TOKEN-BUDGET sampling. The quota mix above caps
+# document COUNT; real mixture specs cap token mass per language ("20B
+# tokens of fr"). Deterministic pick: ascending md5(doc_id) prefix whose
+# running token sum stays within the budget. Distributed shape: per-batch
+# prune (a row's batch-local prefix sum already exceeding the budget can
+# never fit globally — global cum >= batch-local cum for the same order) →
+# keyed task exchange on lang → exact per-bucket prefix scan. The pruned
+# exchange ships only survivors of each batch, so the shuffle payload is
+# bounded by (budget / min_doc_tokens) rows per language, not the corpus.
+# ---------------------------------------------------------------------------
+@_register(
+    "t_mix_token_budget",
+    """
+    WITH t AS (
+      SELECT lang, doc_id,
+             CAST(len(list_filter(string_split(trim(text), ' '), x -> x <> ''))
+                  AS BIGINT) AS n_tokens,
+             CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 16)
+                  AS UBIGINT) AS h
+      FROM documents
+    ), c AS (
+      SELECT lang, doc_id, n_tokens,
+             SUM(n_tokens) OVER (PARTITION BY lang ORDER BY h, doc_id) AS cum
+      FROM t
+    )
+    SELECT lang, doc_id, n_tokens FROM c WHERE cum <= 2000
+    ORDER BY lang, doc_id
+    """,
+)
+def t_mix_token_budget(sf_dir: str, budget: int = 2000):
+    import numpy as np
+    import pyarrow.compute as pc
+
+    from radiant_portal_pipeline_ray.stages.dedup import md5_hash64
+    from radiant_portal_pipeline_ray.stages.taskshuffle import exchange_group
+
+    docs = _docs(sf_dir, ["lang", "doc_id", "text"]).map_batches(
+        TokenizeStage(), batch_format="pyarrow"
+    )
+
+    def _scan(t: pa.Table) -> pa.Table:
+        """Sort by (lang, h, doc_id), per-lang prefix-sum n_tokens, keep
+        rows with cum <= budget. Vectorized via a segmented cumsum."""
+        if t.num_rows == 0:
+            return t
+        ids = pc.cast(t.column("doc_id"), pa.string())
+        hu = md5_hash64(ids)
+        h_u = (hu ^ np.uint64(1 << 63)).view(np.int64)  # oracle UBIGINT order
+        t = t.append_column(pa.field("h_u", pa.int64()), pa.array(h_u))
+        t = t.sort_by([("lang", "ascending"), ("h_u", "ascending"), ("doc_id", "ascending")])
+        langs = t.column("lang").to_numpy(zero_copy_only=False)
+        toks = t.column("n_tokens_ws").to_numpy(zero_copy_only=False).astype(np.int64)
+        cum = np.cumsum(toks)
+        # segmented: subtract each lang-run's preceding total
+        starts = np.r_[0, np.nonzero(langs[1:] != langs[:-1])[0] + 1]
+        base = np.zeros(len(toks), dtype=np.int64)
+        base[starts] = np.r_[0, cum[starts[1:] - 1]] if len(starts) > 1 else 0
+        seg_cum = cum - np.maximum.accumulate(base)
+        return t.filter(pa.array(seg_cum <= budget)).drop_columns(["h_u"])
+
+    pruned = docs.map_batches(
+        lambda b: _scan(b.select(["lang", "doc_id", "n_tokens_ws"])),
+        batch_format="pyarrow",
+    )
+    out = exchange_group(pruned, ["lang"], 16, _scan)
+    out = out.map_batches(
+        lambda b: b.rename_columns(["lang", "doc_id", "n_tokens"]),
+        batch_format="pyarrow",
+    )
+    return out.sort(["lang", "doc_id"])
+
+
+# ---------------------------------------------------------------------------
+# Exact per-group quantiles (percentile_disc semantics): the distribution
+# statistic behind quality-threshold selection ("keep docs above the p25
+# length of their language"). Group cardinality (languages) is tiny while
+# the value column is huge, so the exchange ships only (lang, value) pairs
+# and each bucket computes its languages' quantiles with one np.sort —
+# co-locating a group's values is inherent to EXACT quantiles (the
+# approximate path at 100 TB is a two-pass histogram refine; documented,
+# not needed at corpus-stat scale).
+# ---------------------------------------------------------------------------
+@_register(
+    "q_quality_quantiles",
+    """
+    SELECT lang,
+           CAST(percentile_disc(0.25) WITHIN GROUP (ORDER BY length(text))
+                AS BIGINT) AS p25_chars,
+           CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY length(text))
+                AS BIGINT) AS p50_chars,
+           CAST(percentile_disc(0.9) WITHIN GROUP (ORDER BY length(text))
+                AS BIGINT) AS p90_chars,
+           CAST(count(*) AS BIGINT) AS n_docs
+    FROM documents GROUP BY lang ORDER BY lang
+    """,
+)
+def q_quality_quantiles(sf_dir: str, ps=(0.25, 0.5, 0.9)):
+    import numpy as np
+    import pyarrow.compute as pc
+
+    from radiant_portal_pipeline_ray.stages.taskshuffle import exchange_group
+
+    docs = _docs(sf_dir, ["lang", "text"])
+
+    def project(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "lang": b.column("lang"),
+                "n_chars": pc.cast(pc.utf8_length(b.column("text")), pa.int64()),
+            }
+        )
+
+    def quantiles(t: pa.Table) -> pa.Table:
+        t = t.sort_by([("lang", "ascending"), ("n_chars", "ascending")])
+        langs = t.column("lang").to_numpy(zero_copy_only=False)
+        vals = t.column("n_chars").to_numpy(zero_copy_only=False)
+        starts = np.r_[0, np.nonzero(langs[1:] != langs[:-1])[0] + 1, len(langs)]
+        out = {"lang": [], "p25_chars": [], "p50_chars": [], "p90_chars": [], "n_docs": []}
+        names = ["p25_chars", "p50_chars", "p90_chars"]
+        for i in range(len(starts) - 1):
+            lo, hi = int(starts[i]), int(starts[i + 1])
+            n = hi - lo
+            out["lang"].append(langs[lo])
+            out["n_docs"].append(n)
+            for p, nm in zip(ps, names):
+                # percentile_disc: first value with cume_dist >= p
+                k = max(0, int(np.ceil(p * n)) - 1)
+                out[nm].append(int(vals[lo + k]))
+        return pa.table(
+            {
+                "lang": pa.array(out["lang"], pa.string()),
+                "p25_chars": pa.array(out["p25_chars"], pa.int64()),
+                "p50_chars": pa.array(out["p50_chars"], pa.int64()),
+                "p90_chars": pa.array(out["p90_chars"], pa.int64()),
+                "n_docs": pa.array(out["n_docs"], pa.int64()),
+            }
+        )
+
+    pairs = docs.map_batches(project, batch_format="pyarrow")
+    return exchange_group(pairs, ["lang"], 16, quantiles).sort("lang")

@@ -32,6 +32,11 @@ def test_cli_lifecycle(ray_session, tmp_path, capsys):
     rq = run("qa", "--lake", lake)
     assert rq["passed"] is True
 
+    rr = run("reshard", "--lake", lake, "--new-n-parts", "8")
+    assert rr["n_parts"] == 8
+    rs8 = run("show", "--lake", lake)
+    assert rs8["n_parts"] == 8 and rs8["rows"] == rs["rows"]
+
     rg = run("gc", "--lake", lake, "--keep-versions", "1", "--staging-age-s", "0")
     assert isinstance(rg["removed"], list)
 
