@@ -23,7 +23,6 @@ url has a (possibly tombstone) row there, else NULL.
 
 from __future__ import annotations
 
-import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data as rd

@@ -135,3 +135,56 @@ def test_backlog_freezes_routing_until_done(ray_session, tmp_path):
     assert len(routing_mans) == 1
     assert "hot.org" in routing_mans[-1].salt_map
     assert "hot.org" in routing_mans[-1].pending_migrations
+
+
+class _FakeS3FS:
+    """Minimal fsspec-shaped stand-in for s3fs: pipe_file honors S3's
+    If-None-Match conditional PUT (412 on existing key). Exercises the
+    Lake CAS branch that real S3 would take."""
+
+    protocol = "s3"
+
+    def __init__(self):
+        self.store: dict[str, bytes] = {}
+        self.race_hook = None  # called between the condition check and the put
+
+    def pipe_file(self, path, data, **kw):
+        if kw.get("IfNoneMatch") == "*":
+            if path in self.store:
+                raise OSError("PreconditionFailed: 412")
+            if self.race_hook:
+                self.race_hook()
+                if path in self.store:  # S3 evaluates atomically; model it
+                    raise OSError("PreconditionFailed: 412")
+        self.store[path] = bytes(data)
+
+    def cat_file(self, path):
+        return self.store[path]
+
+    def exists(self, path):
+        return path in self.store
+
+    def makedirs(self, path, exist_ok=True):
+        pass
+
+
+def test_s3_conditional_put_branch(tmp_path):
+    """The s3 protocol branch publishes via If-None-Match and maps the 412
+    PreconditionFailed to a clean loser (False), leaving the winner's bytes."""
+    lake = Lake.__new__(Lake)
+    lake.filesystem = _FakeS3FS()
+    final = "bucket/lake/manifests/manifest-v000000000001.json"
+    assert lake._put_manifest_if_absent(final, b"A", "ta") is True
+    assert lake._put_manifest_if_absent(final, b"B", "tb") is False
+    assert lake.filesystem.cat_file(final) == b"A"
+
+    # interleaved race: B lands between A's check and A's put — A sees 412
+    fs2 = _FakeS3FS()
+    lake.filesystem = fs2
+
+    def sneak():
+        fs2.store[final] = b"B-won"
+
+    fs2.race_hook = sneak
+    assert lake._put_manifest_if_absent(final, b"A", "ta") is False
+    assert fs2.cat_file(final) == b"B-won"
