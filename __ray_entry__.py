@@ -75,6 +75,12 @@ def _registry() -> dict[str, tuple]:
         reg.update(changefeed.QUERIES)
     except ImportError:
         pass
+    try:
+        from radiant_portal_pipeline_ray.pipelines import sketches
+
+        reg.update(sketches.QUERIES)
+    except ImportError:
+        pass
     return reg
 
 
