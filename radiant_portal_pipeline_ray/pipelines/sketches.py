@@ -111,6 +111,7 @@ def q_approx_distinct_users(sf_dir: str, p: int = 14):
 
     def partial(b: pa.Table) -> pa.Table:
         """One register-table row per (batch, event_type)."""
+        b = b.drop_null()  # a null user_id would poison the int64 cast
         if b.num_rows == 0:
             return pa.table(
                 {
