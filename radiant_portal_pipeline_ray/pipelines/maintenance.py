@@ -442,6 +442,10 @@ def reshard(
         "ts": now,
         "resharded_from": current.n_parts,
         "resharded_to": new_n_parts,
+        # carry the purge marker forward: lineage is reset below, and a
+        # LATER reshard must still know this lake once purged tombstones
+        # (its rewind window stays open until old changelogs are retired)
+        "purged_tombstones": purged,
     }
     parts: dict[int, PartitionState] = {}
     for m in meta_rows:

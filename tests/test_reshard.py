@@ -129,6 +129,10 @@ def test_reshard_preconditions(ray_session, tmp_path):
             str(tmp_path / "lake"), 16, EngineConfig(n_parts=16), allow_rewind=True
         )
         assert rep["n_parts"] == 16
+        # the purge marker survives the lineage reset: a LATER reshard is
+        # still gated (its rewind window is still open)
+        with pytest.raises(ReshardPrecondition):
+            reshard(str(tmp_path / "lake"), 32, EngineConfig(n_parts=32))
 
 
 def test_reshard_drops_salt_map_and_keeps_alloc_guard(ray_session, tmp_path):
