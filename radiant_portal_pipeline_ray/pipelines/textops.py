@@ -361,9 +361,10 @@ def t_mix_token_budget(sf_dir: str, budget: int = 2000):
 # length of their language"). Group cardinality (languages) is tiny while
 # the value column is huge, so the exchange ships only (lang, value) pairs
 # and each bucket computes its languages' quantiles with one np.sort —
-# co-locating a group's values is inherent to EXACT quantiles (the
-# approximate path at 100 TB is a two-pass histogram refine; documented,
-# not needed at corpus-stat scale).
+# the simple shape when a group's values fit one worker. The sibling
+# `q_quality_quantiles_scalable` below gives the SAME exact answer without
+# ever co-locating a group (two-pass histogram refine) — the shape to use
+# when a single group's value column outgrows a worker.
 # ---------------------------------------------------------------------------
 @_register(
     "q_quality_quantiles",
@@ -423,3 +424,213 @@ def q_quality_quantiles(sf_dir: str, ps=(0.25, 0.5, 0.9)):
 
     pairs = docs.map_batches(project, batch_format="pyarrow")
     return exchange_group(pairs, ["lang"], 16, quantiles).sort("lang")
+
+
+# ---------------------------------------------------------------------------
+# Exact per-group quantiles WITHOUT co-locating a group's values — the
+# two-pass histogram-refine path that `q_quality_quantiles` documents as
+# its 100 TB shape. Pass 1 streams a fixed LOG-SCALE histogram per
+# (batch, lang) — bin = floor(64·log2(v+1)), 4096 fixed edges, no prior
+# min/max scan — merged per lang through the keyed exchange into one
+# 32 KB register row per language. From the merged counts each target
+# rank k_p = ceil(p·n) resolves to (candidate bin, rank within bin).
+# Pass 2 re-reads ONLY rows whose value falls in a candidate bin (a
+# ~1/4096 slice per quantile; the bin map is a broadcast closure, not a
+# shuffle) and picks the exact k-th order statistic per bin. The heaviest
+# co-located object is one bin's values — bounded by corpus_size/4096 in
+# the worst single-bin-skew case, and recursion on an oversized bin is the
+# documented escape (not needed: char-length mass never concentrates in
+# one log bin at 2^-6 granularity unless the column is near-constant, in
+# which case the bin IS the answer).
+# Same oracle as q_quality_quantiles — the result is EXACT, value-hash
+# checked, not approximate.
+# ---------------------------------------------------------------------------
+_QUANT_NBINS = 64 * 64  # 64 sub-bins per octave, values < 2^64
+
+
+def _log_bins(vals):
+    """Monotone fixed-edge binning: floor(64*log2(v+1)) for v >= 0.
+    float64(v+1) and log2 are monotone non-decreasing, so bin order
+    respects value order (ties only widen bins, never reorder)."""
+    import numpy as np
+
+    return np.minimum(
+        np.floor(64.0 * np.log2(vals.astype(np.float64) + 1.0)).astype(np.int64),
+        _QUANT_NBINS - 1,
+    )
+
+
+@_register(
+    "q_quality_quantiles_scalable",
+    """
+    SELECT lang,
+           CAST(percentile_disc(0.25) WITHIN GROUP (ORDER BY length(text))
+                AS BIGINT) AS p25_chars,
+           CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY length(text))
+                AS BIGINT) AS p50_chars,
+           CAST(percentile_disc(0.9) WITHIN GROUP (ORDER BY length(text))
+                AS BIGINT) AS p90_chars,
+           CAST(count(*) AS BIGINT) AS n_docs
+    FROM documents GROUP BY lang ORDER BY lang
+    """,
+)
+def q_quality_quantiles_scalable(sf_dir: str, ps=(0.25, 0.5, 0.9)):
+    import numpy as np
+    import pyarrow.compute as pc
+
+    from radiant_portal_pipeline_ray.stages.taskshuffle import exchange_group
+
+    names = ["p25_chars", "p50_chars", "p90_chars"]
+
+    def project(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "lang": b.column("lang"),
+                "n_chars": pc.cast(pc.utf8_length(b.column("text")), pa.int64()),
+            }
+        )
+
+    # ---- pass 1: per-(batch, lang) histogram rows → per-lang register sum
+    def partial_hist(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table(
+                {
+                    "lang": pa.array([], pa.string()),
+                    "hist": pa.array([], pa.binary()),
+                }
+            )
+        b = b.sort_by([("lang", "ascending")])
+        langs = b.column("lang").to_numpy(zero_copy_only=False)
+        bins = _log_bins(b.column("n_chars").to_numpy(zero_copy_only=False))
+        starts = np.r_[0, np.nonzero(langs[1:] != langs[:-1])[0] + 1, len(langs)]
+        keys, blobs = [], []
+        for i in range(len(starts) - 1):
+            lo, hi = int(starts[i]), int(starts[i + 1])
+            keys.append(langs[lo])
+            blobs.append(
+                np.bincount(bins[lo:hi], minlength=_QUANT_NBINS)
+                .astype(np.int64)
+                .tobytes()
+            )
+        return pa.table(
+            {
+                "lang": pa.array(keys, pa.string()),
+                "hist": pa.array(blobs, pa.binary()),
+            }
+        )
+
+    def merge_hist(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {"lang": pa.array([], pa.string()), "hist": pa.array([], pa.binary())}
+            )
+        t = t.sort_by([("lang", "ascending")])
+        langs = t.column("lang").to_numpy(zero_copy_only=False)
+        blobs = t.column("hist").to_pylist()
+        starts = np.r_[0, np.nonzero(langs[1:] != langs[:-1])[0] + 1, len(langs)]
+        keys, merged = [], []
+        for i in range(len(starts) - 1):
+            lo, hi = int(starts[i]), int(starts[i + 1])
+            h = np.zeros(_QUANT_NBINS, dtype=np.int64)
+            for blob in blobs[lo:hi]:
+                h += np.frombuffer(blob, dtype=np.int64)
+            keys.append(langs[lo])
+            merged.append(h.tobytes())
+        return pa.table(
+            {
+                "lang": pa.array(keys, pa.string()),
+                "hist": pa.array(merged, pa.binary()),
+            }
+        )
+
+    docs = _docs(sf_dir, ["lang", "text"])
+    partials = docs.map_batches(project, batch_format="pyarrow").map_batches(
+        partial_hist, batch_format="pyarrow"
+    )
+    # one 32 KB row per language — bounded driver pull
+    hist_rows = exchange_group(partials, ["lang"], 16, merge_hist).take_all()
+
+    # ---- resolve each target rank to (bin, rank-within-bin)
+    # targets[lang] = list of (bin, k_within) aligned with ps; n_docs[lang]
+    targets: dict[str, list[tuple[int, int]]] = {}
+    n_docs: dict[str, int] = {}
+    need_bins: dict[str, set] = {}
+    for row in hist_rows:
+        lang = row["lang"]
+        h = np.frombuffer(row["hist"], dtype=np.int64)
+        cum = np.cumsum(h)
+        n = int(cum[-1])
+        n_docs[lang] = n
+        tl = []
+        for p in ps:
+            k = max(1, int(np.ceil(p * n)))  # 1-based global rank
+            b = int(np.searchsorted(cum, k, side="left"))
+            below = int(cum[b - 1]) if b > 0 else 0
+            tl.append((b, k - below))  # 1-based rank within bin b
+        targets[lang] = tl
+        need_bins.setdefault(lang, set()).update(b for b, _ in tl)
+    need_map = {lang: np.array(sorted(bs)) for lang, bs in need_bins.items()}
+
+    # ---- pass 2: gather candidate-bin values only, pick order statistics
+    def gather(b: pa.Table) -> pa.Table:
+        t = project(b)
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "lang": pa.array([], pa.string()),
+                    "bin": pa.array([], pa.int64()),
+                    "n_chars": pa.array([], pa.int64()),
+                }
+            )
+        langs = t.column("lang").to_numpy(zero_copy_only=False)
+        vals = t.column("n_chars").to_numpy(zero_copy_only=False)
+        bins = _log_bins(vals)
+        keep = np.zeros(len(vals), dtype=bool)
+        for lang, bs in need_map.items():
+            sel = langs == lang
+            keep[sel] = np.isin(bins[sel], bs)
+        return pa.table(
+            {
+                "lang": pa.array(langs[keep], pa.string()),
+                "bin": pa.array(bins[keep], pa.int64()),
+                "n_chars": pa.array(vals[keep], pa.int64()),
+            }
+        )
+
+    def pick(t: pa.Table) -> pa.Table:
+        out = {"lang": [], **{nm: [] for nm in names}, "n_docs": []}
+        if t.num_rows == 0:
+            empty = pa.table(
+                {
+                    "lang": pa.array([], pa.string()),
+                    **{nm: pa.array([], pa.int64()) for nm in names},
+                    "n_docs": pa.array([], pa.int64()),
+                }
+            )
+            return empty
+        t = t.sort_by(
+            [("lang", "ascending"), ("bin", "ascending"), ("n_chars", "ascending")]
+        )
+        langs = t.column("lang").to_numpy(zero_copy_only=False)
+        bins = t.column("bin").to_numpy(zero_copy_only=False)
+        vals = t.column("n_chars").to_numpy(zero_copy_only=False)
+        starts = np.r_[0, np.nonzero(langs[1:] != langs[:-1])[0] + 1, len(langs)]
+        for i in range(len(starts) - 1):
+            lo, hi = int(starts[i]), int(starts[i + 1])
+            lang = langs[lo]
+            out["lang"].append(lang)
+            out["n_docs"].append(n_docs[lang])
+            lb, lv = bins[lo:hi], vals[lo:hi]
+            for (bno, kw), nm in zip(targets[lang], names):
+                s = int(np.searchsorted(lb, bno, side="left"))
+                out[nm].append(int(lv[s + kw - 1]))
+        return pa.table(
+            {
+                "lang": pa.array(out["lang"], pa.string()),
+                **{nm: pa.array(out[nm], pa.int64()) for nm in names},
+                "n_docs": pa.array(out["n_docs"], pa.int64()),
+            }
+        )
+
+    gathered = docs.map_batches(gather, batch_format="pyarrow")
+    return exchange_group(gathered, ["lang"], 16, pick).sort("lang")
