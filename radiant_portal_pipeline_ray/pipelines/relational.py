@@ -258,6 +258,55 @@ def q_parts_shipped_recently(sf_dir: str, broadcast_limit: int = 5_000_000):
 
 
 # ---------------------------------------------------------------------------
+# J6 at 100 TB: bloom-prefiltered semi join. When the key side is itself too
+# big to broadcast exactly, broadcast a FIXED-size bloom filter instead
+# (stages/bloom.py); the probe side drops non-members before the exact
+# hash-partitioned semi join, so the shuffle carries only true matches plus
+# the ~0.8% false-positive tail. Same answer as q_parts_shipped_recently
+# (the bloom can only ADD rows to the exact join's input, never remove a
+# match), value-hash checked against the identical oracle.
+# ---------------------------------------------------------------------------
+@_register(
+    "q_parts_shipped_bloom",
+    """
+    SELECT p.p_partkey, p.p_name
+    FROM part p SEMI JOIN (
+      SELECT l_partkey FROM lineitem WHERE l_shipdate > TIMESTAMP '2000-06-01'
+    ) l ON p.p_partkey = l.l_partkey
+    ORDER BY p_partkey
+    """,
+)
+def q_parts_shipped_bloom(sf_dir: str, log2_m: int = 20):
+    import ray
+
+    from radiant_portal_pipeline_ray.stages.bloom import build_bloom
+
+    cutoff = pa.scalar(np.datetime64("2000-06-01T00:00:00", "us"))
+    keys_ds = read_parquet_clean(
+        _pq(sf_dir, "lineitem"),
+        columns=["l_partkey", "l_shipdate"],
+        filter=pc.field("l_shipdate") > cutoff,
+    ).select_columns(["l_partkey"])
+    part = read_parquet_clean(_pq(sf_dir, "part"), columns=["p_partkey", "p_name"])
+
+    bf, words_ref = build_bloom(keys_ds, "l_partkey", log2_m=log2_m)
+
+    def bloom_probe(b: pa.Table) -> pa.Table:
+        words = ray.get(words_ref)  # zero-copy plasma read, shared per node
+        vals = b.column("p_partkey").to_numpy(zero_copy_only=False).astype(np.int64)
+        return b.filter(pa.array(bf.might_contain(words, vals)))
+
+    survivors = part.map_batches(bloom_probe, batch_format="pyarrow")
+
+    def batch_distinct(b: pa.Table) -> pa.Table:
+        return b.group_by("l_partkey").aggregate([])
+
+    keys_d = keys_ds.map_batches(batch_distinct, batch_format="pyarrow")
+    semi = hash_partitioned_join(survivors, keys_d, "p_partkey", "l_partkey", how="semi")
+    return semi.select_columns(["p_partkey", "p_name"]).sort("p_partkey")
+
+
+# ---------------------------------------------------------------------------
 # W1: per-key rank-1 (the LWW upsert shape) — latest order per customer
 # ref: exomiser_insert_partition_delta.sql ROW_NUMBER ... = 1
 # ---------------------------------------------------------------------------
