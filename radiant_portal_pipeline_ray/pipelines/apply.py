@@ -1222,6 +1222,8 @@ class CdcEngine:
         silently overwriting its rows (single-writer is the supported mode,
         same as the reference's one-committer-per-part fan-in,
         `radiant/dags/import_snv_vcf.py:47-49`)."""
+        import json as _json
+
         wm_seed = wm_seed or {}
         attempt = 0
         merged_parts = {int(m["part"]) for m in meta_rows} | set(migrated_empty)
@@ -1305,6 +1307,7 @@ class CdcEngine:
                     ),
                     next_doc_seq=int(m["next_doc_seq"]),
                     lineage=lineage,
+                    stats=_json.loads(m["file_stats"]),
                 )
                 tot_up += int(m["rows_upserted"])
                 tot_del += int(m["rows_deleted"])
@@ -1385,6 +1388,7 @@ class CdcEngine:
         columns: list[str] | None = None,
         include_tombstones: bool = False,
         version: int | None = None,
+        prune: dict | None = None,
     ) -> "rd.Dataset":
         """Committed state as a streaming Dataset (live rows only by
         default — retained delete tombstones are engine-internal).
@@ -1392,21 +1396,31 @@ class CdcEngine:
         ``version`` time-travels to any RETAINED manifest version (the
         Iceberg-snapshot analogue, reference `radiant/tasks/iceberg`;
         retention is governed by ``gc(keep_versions=...)``). Raises
-        ``FileNotFoundError`` for a pruned/unknown version."""
+        ``FileNotFoundError`` for a pruned/unknown version.
+
+        ``prune`` is an interval spec ``{col: (lo, hi)}`` over the
+        zone-mapped columns (``url``/``warc_ts``/``lsn``, endpoints
+        inclusive, either side None = open). Files whose manifest zone maps
+        prove emptiness are skipped WITHOUT touching storage (pure driver
+        math, ``state/zonemaps.py``); the exact interval filter is then
+        pushed into the surviving files' scan, so the result equals an
+        unpruned read + filter. Files lacking stats are read, never
+        dropped."""
         man = (
             self.lake.read_manifest(version)
             if version is not None
             else self.lake.current_manifest()
         )
-        files = (
-            [
-                self.lake.abspath(f)
-                for st in man.partitions.values()
-                for f in st.files
-            ]
-            if man
-            else []
-        )
+        if man:
+            from radiant_portal_pipeline_ray.state.zonemaps import (
+                plan_files,
+                prune_expression,
+            )
+
+            rels, _ = plan_files(man, prune)
+            files = [self.lake.abspath(f) for f in rels]
+        else:
+            files = []
         if not files:
             sch = man.schema if man and man.schema else CHANGELOG_SCHEMA
             empty = pa.Table.from_arrays(
@@ -1414,6 +1428,10 @@ class CdcEngine:
             )
             return rd.from_arrow(empty)
         filt = None if include_tombstones else ~pc.field("deleted")
+        if prune:
+            expr = prune_expression(prune)
+            if expr is not None:
+                filt = expr if filt is None else filt & expr
         return rd.read_parquet(
             files, columns=columns, filter=filt,
             filesystem=self.lake.pyarrow_fs(),

@@ -27,6 +27,7 @@ find the tombstone. The caller opts in via ``purge_tombstones=True``.
 
 from __future__ import annotations
 
+import json
 import os
 import time
 
@@ -55,6 +56,9 @@ _META = pa.schema(
         pa.field("rows", pa.int64()),
         pa.field("tombstones", pa.int64()),
         pa.field("bytes", pa.int64()),
+        # JSON list of per-file zone maps aligned with ``files``
+        # (state/zonemaps.py) — manifest-level data skipping at read time
+        pa.field("file_stats", pa.string()),
     ]
 )
 
@@ -124,7 +128,9 @@ def _make_rewriter(
         else:
             part_dir = f"{staging_dir}/part={part}"
             filesystem.makedirs(part_dir, exist_ok=True)
-        files, total = [], 0
+        from radiant_portal_pipeline_ray.state.zonemaps import file_stats
+
+        files, total, stats = [], 0, []
         n_files = max(1, -(-out.num_rows // target_rows_per_file)) if out.num_rows else 0
         for i in range(n_files):
             chunk = out.slice(i * target_rows_per_file, target_rows_per_file)
@@ -140,6 +146,7 @@ def _make_rewriter(
                 )
                 total += int(filesystem.info(path)["size"])
             files.append(fn)
+            stats.append(file_stats(chunk))
         return pa.Table.from_pydict(
             {
                 "part": [part],
@@ -147,6 +154,7 @@ def _make_rewriter(
                 "rows": [out.num_rows - tomb],
                 "tombstones": [tomb],
                 "bytes": [total],
+                "file_stats": [json.dumps(stats)],
             },
             schema=_META,
         )
@@ -263,6 +271,7 @@ def compact(
                 watermark_lsn=old.watermark_lsn,
                 next_doc_seq=old.next_doc_seq,
                 lineage=lineage,
+                stats=json.loads(m["file_stats"]),
             )
         manifest = Manifest(
             version=base.version + 1,
@@ -459,6 +468,7 @@ def reshard(
             watermark_lsn=gmin,
             next_doc_seq=old.next_doc_seq if old else 0,
             lineage=[lineage_entry],
+            stats=json.loads(m["file_stats"]),
         )
     # fileless new partitions still need explicit states at the global
     # watermark — a missing base partition reads as watermark -1 and drags

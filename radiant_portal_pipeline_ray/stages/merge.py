@@ -53,6 +53,9 @@ META_SCHEMA = pa.schema(
         #: JSON {domain: live_rows} for the partition's top domains — the
         #: driver's heavy-hitter feed for deferred salting decisions
         pa.field("top_domains", pa.string()),
+        #: JSON list of per-file zone maps aligned with ``files``
+        #: (state/zonemaps.py) — manifest-level data skipping at read time
+        pa.field("file_stats", pa.string()),
     ]
 )
 
@@ -266,7 +269,9 @@ class MergeKernel:
         else:
             part_dir = f"{self.staging_dir}/part={part}"
             self.filesystem.makedirs(part_dir, exist_ok=True)
-        files, total_bytes = [], 0
+        from radiant_portal_pipeline_ray.state.zonemaps import file_stats
+
+        files, total_bytes, stats = [], 0, []
         tpf = self.target_rows_per_file
         n_files = max(1, -(-out.num_rows // tpf)) if out.num_rows else 0
         for i in range(n_files):
@@ -284,6 +289,7 @@ class MergeKernel:
                 )
                 total_bytes += int(self.filesystem.info(path)["size"])
             files.append(fn)
+            stats.append(file_stats(chunk))
 
         return {
             "part": part,
@@ -298,6 +304,7 @@ class MergeKernel:
             "events_in": events_in,
             "next_doc_seq": seq0 + n_new,
             "top_domains": top_domains,
+            "file_stats": _json.dumps(stats),
         }
 
 

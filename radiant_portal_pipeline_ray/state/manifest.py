@@ -78,9 +78,13 @@ class PartitionState:
     watermark_lsn: int = -1
     next_doc_seq: int = 0
     lineage: list[dict] = dc_field(default_factory=list)
+    #: zone maps: per-file column min/max aligned with ``files`` (see
+    #: state/zonemaps.py). OPTIONAL — ``None`` (old manifests / writers
+    #: that skip stats) means "never prune these files".
+    stats: list | None = None
 
     def to_json(self) -> dict:
-        return {
+        d = {
             "files": self.files,
             "rows": self.rows,
             "tombstones": self.tombstones,
@@ -89,6 +93,9 @@ class PartitionState:
             "next_doc_seq": self.next_doc_seq,
             "lineage": self.lineage,
         }
+        if self.stats is not None:
+            d["stats"] = self.stats
+        return d
 
     @staticmethod
     def from_json(d: dict) -> "PartitionState":
@@ -100,7 +107,14 @@ class PartitionState:
             watermark_lsn=d["watermark_lsn"],
             next_doc_seq=d.get("next_doc_seq", 0),
             lineage=list(d.get("lineage", [])),
+            stats=d.get("stats"),
         )
+
+    def file_stats(self, i: int):
+        """Zone map for ``files[i]`` or None (absent/misaligned stats)."""
+        if self.stats is not None and i < len(self.stats):
+            return self.stats[i]
+        return None
 
 
 @dataclass
