@@ -634,3 +634,88 @@ def q_quality_quantiles_scalable(sf_dir: str, ps=(0.25, 0.5, 0.9)):
 
     gathered = docs.map_batches(gather, batch_format="pyarrow")
     return exchange_group(gathered, ["lang"], 16, pick).sort("lang")
+
+
+# ---------------------------------------------------------------------------
+# PII redaction. The synthetic documents carry no natural PII, so the query
+# deterministically INJECTS a contact line derived from doc_id — identically
+# on the Ray side and in the SQL oracle — then redacts it. That makes the
+# regex passes load-bearing (every row has 1 email, 1 IP, 1 phone to find,
+# plus whatever the corpus happens to contain) while keeping both sides a
+# pure function of the shared input table. Both pyarrow and DuckDB run RE2,
+# so the patterns (stages/textstages.PII_PATTERNS) behave identically.
+# ---------------------------------------------------------------------------
+@_register(
+    "t_pii_redact",
+    r"""
+    WITH injected AS (
+      SELECT doc_id,
+             text || ' contact user' || doc_id || '@mail'
+                  || (doc_id % 7) || '.example.com call 555-'
+                  || (1000 + doc_id % 9000) || ' from 10.'
+                  || (doc_id % 256) || '.' || ((doc_id // 8) % 256)
+                  || '.' || (doc_id % 254 + 1) AS text
+      FROM documents
+    ), p1 AS (
+      SELECT doc_id,
+             CAST(len(regexp_extract_all(text,
+                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT)
+                 AS n_emails,
+             regexp_replace(text,
+                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                 '[EMAIL]', 'g') AS text
+      FROM injected
+    ), p2 AS (
+      SELECT doc_id, n_emails,
+             CAST(len(regexp_extract_all(text,
+                 '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT)
+                 AS n_ips,
+             regexp_replace(text,
+                 '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '[IP]', 'g')
+                 AS text
+      FROM p1
+    )
+    SELECT doc_id, n_emails, n_ips,
+           CAST(len(regexp_extract_all(text, '\b\d{3}-\d{4}\b')) AS BIGINT)
+               AS n_phones,
+           regexp_replace(text, '\b\d{3}-\d{4}\b', '[PHONE]', 'g')
+               AS redacted
+    FROM p2 ORDER BY doc_id
+    """,
+)
+def t_pii_redact(sf_dir: str):
+    import pyarrow.compute as pc
+
+    from radiant_portal_pipeline_ray.stages.textstages import PiiRedactStage
+
+    def inject(t: pa.Table) -> pa.Table:
+        d = t.column("doc_id")
+        s = lambda x: pc.cast(x, pa.string())
+        m = pc.binary_join_element_wise(
+            t.column("text"),
+            " contact user", s(d), "@mail", s(_mod(d, 7)),
+            ".example.com call 555-", s(pc.add(_mod(d, 9000), 1000)),
+            " from 10.", s(_mod(d, 256)),
+            ".", s(_mod(pc.divide(d, 8), 256)),
+            ".", s(pc.add(_mod(d, 254), 1)),
+            "",
+        )
+        return t.set_column(t.schema.get_field_index("text"), "text", m)
+
+    ds = (
+        _docs(sf_dir, ["doc_id", "text"])
+        .map_batches(inject, batch_format="pyarrow")
+        .map_batches(PiiRedactStage(), batch_format="pyarrow")
+    )
+    return ds.select_columns(
+        ["doc_id", "n_emails", "n_ips", "n_phones", "redacted"]
+    ).sort("doc_id")
+
+
+def _mod(a, m: int):
+    import pyarrow.compute as pc
+
+    # arithmetic modulo for non-negative int64 arrays (no pc.mod in older
+    # pyarrow: a - (a // m) * m with integer division)
+    d = pc.divide(a, m)
+    return pc.subtract(a, pc.multiply(d, m))

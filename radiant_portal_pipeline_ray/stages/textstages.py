@@ -334,3 +334,42 @@ class FingerprintStage:
             for t in batch.column(self.text_col).to_pylist()
         ]
         return batch.append_column(self.out_col, pa.array(fps, type=pa.string()))
+
+
+# ---------------------------------------------------------------------------
+# PII redaction. Every serious webtext training pipeline scrubs contact
+# PII before the corpus ships (C4 / Dolma / FineWeb all carry an analogous
+# stage). Pure vectorized map_batches — zero shuffle, so it runs at ingest
+# scale at read throughput. Patterns are RE2 (pyarrow's regex engine),
+# chosen to behave identically under DuckDB's RE2 so the operator is
+# oracle-checkable end to end.
+# ---------------------------------------------------------------------------
+
+#: (name, RE2 pattern, replacement) — applied in order; email first so its
+#: digits/dots are gone before the IP/phone passes scan the remainder.
+PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
+    ("emails", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "[EMAIL]"),
+    ("ips", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "[IP]"),
+    ("phones", r"\b\d{3}-\d{4}\b", "[PHONE]"),
+)
+
+
+class PiiRedactStage:
+    """Replace emails / IPv4 literals / short phone numbers with typed
+    placeholder tokens and count each category (counts are taken pass by
+    pass on the partially-redacted string, exactly like the sequential
+    ``regexp_replace`` chain an SQL oracle runs)."""
+
+    def __init__(self, text_col: str = "text", out_col: str = "redacted"):
+        self.text_col = text_col
+        self.out_col = out_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        s = batch.column(self.text_col)
+        for name, pat, repl in PII_PATTERNS:
+            n = pc.count_substring_regex(s, pat)
+            batch = batch.append_column(
+                f"n_{name}", pc.cast(n, pa.int64())
+            )
+            s = pc.replace_substring_regex(s, pat, repl)
+        return batch.append_column(self.out_col, s)
