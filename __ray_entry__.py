@@ -81,6 +81,12 @@ def _registry() -> dict[str, tuple]:
         reg.update(sketches.QUERIES)
     except ImportError:
         pass
+    try:
+        from radiant_portal_pipeline_ray.pipelines import incremental_dedup
+
+        reg.update(incremental_dedup.QUERIES)
+    except ImportError:
+        pass
     return reg
 
 

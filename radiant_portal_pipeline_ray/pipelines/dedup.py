@@ -551,15 +551,17 @@ def dd_ngram_jaccard(sf_dir: str, max_bucket: int = 4096):
 
 
 # ---------------------------------------------------------------------------
-def _minhash_sql(
+def minhash_sql_fragments(
     n_perm: int = 64, n_bands: int = 16, rows_per_band: int = 4, seed: int = 7
-) -> str:
-    """DuckDB mirror of the ENTIRE dd_minhash_lsh pipeline: md5-derived
-    shingle hashes, the 64 (a·h + b mod 2^64) mod (2^61-1) permutation mins
-    per doc (HUGEINT emulates the engine's uint64 wrap-around), the
-    golden-ratio band mix, pairs sharing ANY band, then the exact ngram
-    verification. Permutation constants come from the same seeded RNG as
-    MinHashStage, so signatures agree bit-for-bit."""
+) -> dict[str, str]:
+    """Reusable DuckDB fragments mirroring MinHashStage + make_band_exploder
+    bit-for-bit: ``mins`` (the n_perm (a·h + b mod 2^64) mod (2^61-1)
+    permutation-min select items, HUGEINT emulating uint64 wrap-around),
+    ``bands`` (the golden-ratio band-mix select items h0..h{n_bands-1}) and
+    ``band_match`` ("a.hI = b.hI OR ..."), plus ``sig_match`` (the
+    component-agreement count a.mJ = b.mJ summed — the probe-side similarity
+    estimate). Permutation constants come from the same seeded RNG as
+    MinHashStage. Shared by dd_minhash_lsh and dd_incremental_neardup."""
     import numpy as np
 
     rng = np.random.default_rng(seed)
@@ -591,6 +593,29 @@ def _minhash_sql(
         f"{band_expr(bi)} AS h{bi}" for bi in range(n_bands)
     )
     band_match = " OR ".join(f"a.h{bi} = b.h{bi}" for bi in range(n_bands))
+    sig_match = " + ".join(
+        f"CASE WHEN a.m{j} = b.m{j} THEN 1 ELSE 0 END" for j in range(n_perm)
+    )
+    return {
+        "mins": mins,
+        "bands": bands,
+        "band_match": band_match,
+        "sig_match": sig_match,
+    }
+
+
+def _minhash_sql(
+    n_perm: int = 64, n_bands: int = 16, rows_per_band: int = 4, seed: int = 7
+) -> str:
+    """DuckDB mirror of the ENTIRE dd_minhash_lsh pipeline: md5-derived
+    shingle hashes, permutation mins, band mix, pairs sharing ANY band, then
+    the exact ngram verification (fragments: minhash_sql_fragments)."""
+    frags = minhash_sql_fragments(n_perm, n_bands, rows_per_band, seed)
+    mins, bands, band_match = (
+        frags["mins"],
+        frags["bands"],
+        frags["band_match"],
+    )
     ngram_pairs = _NGRAM_SQL.replace("ORDER BY doc_a, doc_b", "")
     return f"""
     WITH base_pairs AS ({ngram_pairs}
