@@ -78,6 +78,13 @@ from radiant_portal_pipeline_ray.stages.taskshuffle import (
 
 logger = logging.getLogger(__name__)
 
+#: increments whose signature table fits under this bound take the
+#: small-increment fast path: broadcast tables + one Ray task wave per index
+#: touch instead of keyed exchanges (same threshold idiom as
+#: taskshuffle._DRIVER_LOCAL_BYTES / dedup._DRIVER_PAIR_THRESHOLD — the
+#: distributed path is forced in tests by zeroing this)
+_SMALL_SIG_BYTES = 16 << 20
+
 N_PERM = 64
 N_BANDS = 16
 ROWS_PER_BAND = 4
@@ -205,9 +212,7 @@ def _fold_lww(t: pa.Table, payload: pa.Schema) -> pa.Table:
     return adds.take(j.filter(keep).column("i")).select(out_cols)
 
 
-@ray.remote
-def _read_bucket_task(files: list[tuple[int, str]], kind: str) -> pa.Table:
-    """Read one bucket's (version, path) files and fold to live entries."""
+def _fold_files(files: list[tuple[int, str]], kind: str) -> pa.Table:
     schema = _BANDS_SCHEMA if kind == "bands" else _SIGS_SCHEMA
     payload = pa.schema([f for f in schema if f.name != "op"])
     tabs = []
@@ -222,6 +227,42 @@ def _read_bucket_task(files: list[tuple[int, str]], kind: str) -> pa.Table:
         return _empty(payload)
     all_rows = pa.concat_tables(tabs, promote_options="permissive")
     return _fold_lww(all_rows, payload).combine_chunks()
+
+
+@ray.remote
+def _read_bucket_task(files: list[tuple[int, str]], kind: str) -> pa.Table:
+    """Read one bucket's (version, path) files and fold to live entries."""
+    return _fold_files(files, kind)
+
+
+@ray.remote
+def _probe_bucket_task(
+    files: list[tuple[int, str]], probe_bands: pa.Table
+) -> pa.Table:
+    """Small-increment probe: fold ONE band bucket and join the (broadcast)
+    incoming band table against it → distinct candidate (new_url, old_url)."""
+    live = _fold_files(files, "bands")
+    pb = probe_bands.rename_columns(["new_url", "band_hash"])
+    ib = live.rename_columns(["old_url", "band_hash"])
+    j = pb.join(ib, keys="band_hash", join_type="inner")
+    j = j.filter(pc.not_equal(j.column("new_url"), j.column("old_url")))
+    return (
+        j.select(["new_url", "old_url"])
+        .group_by(["new_url", "old_url"])
+        .aggregate([])
+        .combine_chunks()
+    )
+
+
+@ray.remote
+def _sig_fetch_task(
+    files: list[tuple[int, str]], urls: pa.Array
+) -> pa.Table:
+    """Small-increment sig lookup: fold ONE sig bucket, keep rows whose url
+    is in the (broadcast) lookup set."""
+    live = _fold_files(files, "sigs")
+    mask = pc.fill_null(pc.is_in(live.column("url"), value_set=urls), False)
+    return live.filter(mask).combine_chunks()
 
 
 class SignatureIndex:
@@ -421,8 +462,9 @@ class SignatureIndex:
 
     # -- per-commit incremental round -----------------------------------------------
     def _changed_docs(self, engine, v_from: int, v_to: int) -> "rd.Dataset":
-        """(url, text, change_op) of the I/U urls at v_to, reading ONLY the
-        partitions whose file lists differ between the two manifests."""
+        """(url, text) of the I/U urls at v_to, reading ONLY the partitions
+        whose file lists differ between the two manifests; small increments
+        push the url set into the scan filter itself."""
         m_from = engine.lake.read_manifest(v_from)
         m_to = engine.lake.read_manifest(v_to)
 
@@ -441,19 +483,25 @@ class SignatureIndex:
         ]
         if not files:
             return rd.from_arrow(
-                _empty(
-                    pa.schema(
-                        [("url", pa.string()), ("text", pa.string()),
-                         ("change_op", pa.string())]
-                    )
-                )
+                _empty(pa.schema([("url", pa.string()), ("text", pa.string())]))
             )
         incoming = engine.read_changes(v_from, v_to).map_batches(
             lambda b: b.filter(
                 pc.not_equal(b.column("change_op"), "D")
-            ).select(["url", "change_op"]),
+            ).select(["url"]),
             batch_format="pyarrow",
-        )
+        ).materialize()
+        small = self._gather_small(incoming)
+        if small is not None:
+            # small increment: push the url set into the changed-partition
+            # scan itself — no exchange, no second pass
+            urls = _as_array(small.column("url"))
+            return rd.read_parquet(
+                files,
+                columns=["url", "text", "deleted"],
+                filesystem=engine.lake.pyarrow_fs(),
+                filter=(~pc.field("deleted")) & pc.field("url").isin(urls),
+            ).select_columns(["url", "text"])
         snap = rd.read_parquet(
             files,
             columns=["url", "text", "deleted"],
@@ -485,11 +533,113 @@ class SignatureIndex:
             out.add(int(row["bucket"]))
         return sorted(out)
 
+    @staticmethod
+    def _gather_small(ds: "rd.Dataset") -> pa.Table | None:
+        """Materialized dataset → one driver table when it fits the
+        small-increment bound, else None (stay distributed)."""
+        if int(ds.size_bytes() or 0) > _SMALL_SIG_BYTES:
+            return None
+        sch = ds.schema(fetch_if_missing=True)
+        if sch is None:
+            return None
+        tabs = [t for t in ray.get(ds.to_arrow_refs()) if t.num_rows]
+        if not tabs:
+            return _empty(pa.schema(sch.base_schema))
+        return pa.concat_tables(tabs, promote_options="permissive").combine_chunks()
+
+    def _per_bucket_wave(
+        self, kind: str, table: pa.Table, keys: list[str], task, payload_fn
+    ) -> pa.Table:
+        """Fan one task per index bucket the table's keys touch, shipping
+        each task ONLY its bucket's slice; concat the results."""
+        b = bucket_ids(table, keys, self.n_buckets)
+        order = np.argsort(b, kind="stable")
+        ts = table.take(pa.array(order))
+        bs = b[order]
+        cuts = np.flatnonzero(np.diff(bs)) + 1
+        starts = np.concatenate(([0], cuts))
+        ends = np.concatenate((cuts, [len(bs)]))
+        refs = []
+        for s, e in zip(starts, ends):
+            files = self._bucket_files(kind, int(bs[s]))
+            if files:
+                refs.append(
+                    task.remote(files, payload_fn(ts.slice(int(s), int(e - s))))
+                )
+        tabs = [t for t in ray.get(refs) if t.num_rows]
+        return (
+            pa.concat_tables(tabs, promote_options="permissive").combine_chunks()
+            if tabs
+            else None
+        )
+
+    def _probe_small(self, sigs_t: pa.Table) -> "rd.Dataset":
+        """Small-increment probe: the incoming signature table lives on the
+        driver (bounded by _SMALL_SIG_BYTES); two task waves — candidate
+        generation per touched band bucket, signature fetch per touched sig
+        bucket — then one vectorized local score."""
+        empty = rd.from_arrow(_empty(_PAIRS_SCHEMA))
+        if sigs_t.num_rows == 0:
+            return empty
+        bands_t = _explode_url_bands(sigs_t)
+        if bands_t.num_rows == 0:
+            return empty
+        cands = self._per_bucket_wave(
+            "bands", bands_t, ["band_hash"], _probe_bucket_task, lambda t: t
+        )
+        if cands is None:
+            return empty
+        cands = cands.group_by(["new_url", "old_url"]).aggregate([])
+        old = self._per_bucket_wave(
+            "sigs",
+            cands,
+            ["old_url"],
+            _sig_fetch_task,
+            lambda t: pc.unique(_as_array(t.column("old_url"))),
+        )
+        if old is None:
+            return empty
+        oi = pc.index_in(cands.column("old_url"), value_set=old.column("url"))
+        ni = pc.index_in(cands.column("new_url"), value_set=sigs_t.column("url"))
+        ok = pc.and_(pc.is_valid(oi), pc.is_valid(ni))
+        cands = cands.filter(ok)
+        oi = pc.filter(oi, ok).to_numpy(zero_copy_only=False).astype(np.int64)
+        ni = pc.filter(ni, ok).to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(oi) == 0:
+            return empty
+        old_m = (
+            pc.list_flatten(_as_array(old.column("minhash")))
+            .to_numpy()
+            .reshape(old.num_rows, N_PERM)[oi]
+        )
+        new_m = (
+            pc.list_flatten(_as_array(sigs_t.column("minhash")))
+            .to_numpy()
+            .reshape(sigs_t.num_rows, N_PERM)[ni]
+        )
+        match = (old_m == new_m).sum(axis=1).astype(np.int64)
+        keep = match >= SIG_MATCH_MIN
+        out = pa.table(
+            {
+                "new_url": pc.filter(
+                    _as_array(cands.column("new_url")), pa.array(keep)
+                ),
+                "old_url": pc.filter(
+                    _as_array(cands.column("old_url")), pa.array(keep)
+                ),
+                "sig_match": pa.array(match[keep], pa.int64()),
+                "est_sim": pa.array(match[keep] / float(N_PERM), pa.float64()),
+            }
+        )
+        return rd.from_arrow(out)
+
     def probe(self, engine, v_from: int, v_to: int) -> "rd.Dataset":
         """Near-dup pairs (new_url, old_url, sig_match, est_sim) between the
         v_from→v_to incoming documents and the indexed corpus (state v_from).
         Self-pairs (an update colliding with its own old version) are
-        excluded. The base documents' text is never read."""
+        excluded. The base documents' text is never read. Small increments
+        (the common case) run on the broadcast fast path; large ones on
+        keyed task exchanges."""
         if self.version != v_from:
             raise ValueError(
                 f"index reflects version {self.version}, probe needs {v_from}"
@@ -498,6 +648,9 @@ class SignatureIndex:
         new_sigs = self.signatures(
             incoming.select_columns(["url", "text"])
         ).materialize()
+        small = self._gather_small(new_sigs)
+        if small is not None:
+            return self._probe_small(small)
         probe_bands = new_sigs.map_batches(
             _explode_url_bands, batch_format="pyarrow"
         ).materialize()
@@ -585,6 +738,42 @@ class SignatureIndex:
             with_old, new_sigs, ["new_url"], ["url"], self.n_buckets, score
         )
 
+    def _update_small(
+        self, sigs_t: pa.Table, removed_t: pa.Table, v_to: int
+    ) -> dict:
+        """Small-increment update: one sig-fetch task wave for the removed
+        urls' old signatures, then a single driver-side grouped write per
+        sidecar (rows bounded by _SMALL_SIG_BYTES)."""
+        band_parts = [self._band_rows(0)(sigs_t)]
+        sig_parts = [self._sig_rows(0)(sigs_t)]
+        n_del = 0
+        if removed_t.num_rows:
+            gone = self._per_bucket_wave(
+                "sigs",
+                removed_t,
+                ["url"],
+                _sig_fetch_task,
+                lambda t: pc.unique(_as_array(t.column("url"))),
+            )
+            if gone is not None and gone.num_rows:
+                n_del = gone.num_rows
+                band_parts.append(self._band_rows(1)(gone))
+                sig_parts.append(self._sig_rows(1)(gone))
+        band_t = pa.concat_tables(band_parts, promote_options="permissive")
+        sig_t = pa.concat_tables(sig_parts, promote_options="permissive")
+        n_band = self._write_rows("bands", rd.from_arrow(band_t), v_to)
+        n_sig = self._write_rows("sigs", rd.from_arrow(sig_t), v_to)
+        self._commit_meta(v_to)
+        return {
+            "version": v_to,
+            "band_adds": sigs_t.num_rows * N_BANDS,
+            "band_dels": n_del * N_BANDS,
+            "sig_adds": sigs_t.num_rows,
+            "sig_dels": n_del,
+            "band_rows_written": n_band,
+            "sig_rows_written": n_sig,
+        }
+
     def update(self, engine, v_from: int, v_to: int) -> dict:
         """Advance the index from v_from to v_to: delete rows for U/D urls
         (band deletes routed via their OLD signatures — read from the index,
@@ -609,6 +798,10 @@ class SignatureIndex:
         new_sigs = self.signatures(
             incoming.select_columns(["url", "text"])
         ).materialize()
+        small_sigs = self._gather_small(new_sigs)
+        small_removed = self._gather_small(removed)
+        if small_sigs is not None and small_removed is not None:
+            return self._update_small(small_sigs, small_removed, v_to)
         band_ds = new_sigs.map_batches(self._band_rows(0), batch_format="pyarrow")
         sig_ds = new_sigs.map_batches(self._sig_rows(0), batch_format="pyarrow")
         n_del = 0
@@ -645,6 +838,118 @@ class SignatureIndex:
             "band_rows_written": n_band,
             "sig_rows_written": n_sig,
         }
+
+    def compact(self) -> dict:
+        """Fold every bucket's version history into one file per bucket and
+        drop the history — the index analogue of the lake's ``compact``.
+
+        Crash-safety: the compacted file is written under the CURRENT
+        version's deterministic name and contains (a) a delete row for
+        EVERY url that ever appeared in the bucket and (b) add rows for the
+        live entries. The dels shadow all older adds (add@v < del@ver) while
+        the same-version adds survive (the >= fold rule), so a fold over the
+        compacted file plus ANY subset of the superseded files — the state a
+        crash between the write and the removals leaves behind — equals the
+        live state. Removals can then proceed in any order."""
+        if self.version is None:
+            raise ValueError("compact before build")
+        ver = int(self.version)
+        root = self.root
+        stats = {"buckets": 0, "files_removed": 0, "rows": 0}
+        work = []
+        for kind in ("bands", "sigs"):
+            for bkt in range(self.n_buckets):
+                files = self._bucket_files(kind, bkt)
+                if len(files) < 2:
+                    continue
+                work.append((kind, bkt, files))
+
+        @ray.remote
+        def compact_bucket(kind: str, bkt: int, files) -> tuple[int, int]:
+            schema = _BANDS_SCHEMA if kind == "bands" else _SIGS_SCHEMA
+            tabs = []
+            for fver, path in files:
+                t = pq.read_table(path)
+                tabs.append(
+                    t.append_column(
+                        "version",
+                        pa.array(np.full(t.num_rows, fver), type=pa.int64()),
+                    )
+                )
+            hist = pa.concat_tables(tabs, promote_options="permissive")
+            payload = pa.schema([f for f in schema if f.name != "op"])
+            live = _fold_lww(hist, payload)
+            all_urls = pc.unique(_as_array(hist.column("url")))
+            n_del, n_add = len(all_urls), live.num_rows
+            cols = {
+                "op": pa.concat_arrays(
+                    [
+                        pa.array(np.ones(n_del, np.int8), type=pa.int8()),
+                        pa.array(np.zeros(n_add, np.int8), type=pa.int8()),
+                    ]
+                ),
+                "url": pa.concat_arrays(
+                    [all_urls, _as_array(live.column("url"))]
+                ),
+            }
+            for f in schema:
+                if f.name in ("op", "url"):
+                    continue
+                cols[f.name] = pa.concat_arrays(
+                    [
+                        pa.nulls(n_del, f.type),
+                        _as_array(live.column(f.name)).cast(f.type),
+                    ]
+                )
+            out = pa.table(cols).select([f.name for f in schema])
+            d = os.path.join(root, kind, f"b{bkt:05d}")
+            tmp = os.path.join(d, f".v{ver:06d}.parquet.tmp")
+            pq.write_table(out, tmp, compression="zstd")
+            os.replace(tmp, os.path.join(d, f"v{ver:06d}.parquet"))
+            removed = 0
+            for fver, path in files:
+                if fver != ver:
+                    os.remove(path)
+                    removed += 1
+            return live.num_rows, removed
+
+        for rows, removed in ray.get(
+            [compact_bucket.remote(k, b, f) for k, b, f in work]
+        ):
+            stats["buckets"] += 1
+            stats["files_removed"] += removed
+            stats["rows"] += rows
+        return stats
+
+    def ingest_round(self, engine, v_from: int, v_to: int):
+        """The per-commit maintenance step: probe THEN update, sharing one
+        changed-docs + signature pass on the small-increment path. Returns
+        (pairs Dataset, update stats)."""
+        if self.version != v_from:
+            raise ValueError(
+                f"index reflects version {self.version}, round needs {v_from}"
+            )
+        incoming = self._changed_docs(engine, v_from, v_to)
+        new_sigs = self.signatures(
+            incoming.select_columns(["url", "text"])
+        ).materialize()
+        small_sigs = self._gather_small(new_sigs)
+        removed = engine.read_changes(v_from, v_to).map_batches(
+            lambda b: b.filter(
+                pc.not_equal(b.column("change_op"), "I")
+            ).select(["url"]),
+            batch_format="pyarrow",
+        ).materialize()
+        small_removed = self._gather_small(removed)
+        if small_sigs is not None and small_removed is not None:
+            pairs = self._probe_small(small_sigs)
+            stats = self._update_small(small_sigs, small_removed, v_to)
+            return pairs, stats
+        # large increment: the extra pass of the sequential full paths is
+        # amortized by the increment size itself
+        pairs = self.probe(engine, v_from, v_to).materialize()
+        stats = self.update(engine, v_from, v_to)
+        return pairs, stats
 
     def snapshot_entries(self, kind: str) -> pa.Table:
         """All live entries of one sidecar (tests / parity checks only)."""

@@ -116,6 +116,101 @@ def test_crash_safety_and_idempotent_retry(lake):
         )
 
 
+def _pairs_sorted(ds) -> list[tuple]:
+    import ray
+
+    tabs = [t for t in ray.get(ds.materialize().to_arrow_refs()) if t.num_rows]
+    if not tabs:
+        return []
+    t = pa.concat_tables(tabs, promote_options="permissive")
+    return sorted(
+        (r["new_url"], r["old_url"], r["sig_match"]) for r in t.to_pylist()
+    )
+
+
+def test_distributed_path_parity(lake, monkeypatch):
+    """Zeroing the small-increment byte gate forces the keyed-exchange path
+    for probe, update and the changed-doc read; pairs and the maintained
+    index must match the fast path exactly."""
+    import radiant_portal_pipeline_ray.pipelines.incremental_dedup as mod
+
+    eng, work = lake
+    a = SignatureIndex(str(work / "idx_small_path"), n_buckets=8)
+    a.build(eng, 1)
+    pairs_small = _pairs_sorted(a.probe(eng, 1, 2))
+    a.update(eng, 1, 2)
+
+    monkeypatch.setattr(mod, "_SMALL_SIG_BYTES", 0)
+    b = SignatureIndex(str(work / "idx_dist_path"), n_buckets=8)
+    b.build(eng, 1)
+    pairs_dist = _pairs_sorted(b.probe(eng, 1, 2))
+    b.update(eng, 1, 2)
+
+    assert pairs_small == pairs_dist and len(pairs_small) > 0
+    for kind in ("bands", "sigs"):
+        assert _canon(a.snapshot_entries(kind)) == _canon(
+            b.snapshot_entries(kind)
+        )
+
+
+def test_ingest_round_equals_probe_then_update(lake):
+    eng, work = lake
+    a = SignatureIndex(str(work / "idx_round"), n_buckets=8)
+    a.build(eng, 1)
+    pairs, stats = a.ingest_round(eng, 1, 2)
+    assert stats["version"] == 2 and a.version == 2
+
+    b = SignatureIndex(str(work / "idx_round_ref"), n_buckets=8)
+    b.build(eng, 1)
+    ref_pairs = _pairs_sorted(b.probe(eng, 1, 2))
+    b.update(eng, 1, 2)
+    assert _pairs_sorted(pairs) == ref_pairs
+    for kind in ("bands", "sigs"):
+        assert _canon(a.snapshot_entries(kind)) == _canon(
+            b.snapshot_entries(kind)
+        )
+
+
+def test_compact_preserves_state(lake):
+    """compact() folds history to one file per bucket without changing the
+    live entries; re-adding the superseded files (the crash window between
+    the compacted write and the removals) must ALSO fold to the same state
+    — the compacted file's url-level dels shadow every older add."""
+    eng, work = lake
+    root = str(work / "idx_compact")
+    idx = SignatureIndex(root, n_buckets=8)
+    idx.build(eng, 1)
+    idx.update(eng, 1, 2)
+    before = {k: _canon(idx.snapshot_entries(k)) for k in ("bands", "sigs")}
+
+    # stash the pre-compaction files to replay the crash window later
+    stash = {}
+    for kind in ("bands", "sigs"):
+        for bdir in sorted(os.listdir(os.path.join(root, kind))):
+            d = os.path.join(root, kind, bdir)
+            for name in os.listdir(d):
+                with open(os.path.join(d, name), "rb") as f:
+                    stash[(kind, bdir, name)] = f.read()
+
+    stats = idx.compact()
+    assert stats["files_removed"] > 0
+    for kind in ("bands", "sigs"):
+        assert _canon(idx.snapshot_entries(kind)) == before[kind]
+        for bdir in os.listdir(os.path.join(root, kind)):
+            files = os.listdir(os.path.join(root, kind, bdir))
+            assert len(files) == 1, f"{kind}/{bdir} not compacted: {files}"
+
+    # crash window: superseded files coexist with the compacted file
+    for (kind, bdir, name), data in stash.items():
+        path = os.path.join(root, kind, bdir, name)
+        if not os.path.exists(path):
+            with open(path, "wb") as f:
+                f.write(data)
+    reread = SignatureIndex(root, n_buckets=8)
+    for kind in ("bands", "sigs"):
+        assert _canon(reread.snapshot_entries(kind)) == before[kind]
+
+
 def test_index_param_mismatch_rejected(lake, tmp_path):
     root = str(tmp_path / "idx_params")
     idx = SignatureIndex(root, n_buckets=8)
