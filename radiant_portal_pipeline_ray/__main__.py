@@ -6,6 +6,8 @@ contract). Subcommands mirror the reference's operational surface
 `radiant/dags/import_radiant.py`, `radiant/dags/data_integrity_starrocks.py`):
 
     apply    --lake L --changelog DIR_OR_FILES [--n-parts N] [--exchange task|sort|actor]
+    tail     --lake L --changelog DIR [--poll-s S] [--max-rounds N]
+             [--idle-exit K] [--batch-files B]   # WAL tail loop, resumable
     compact  --lake L [--min-files K] [--purge-tombstones]
     reshard  --lake L --new-n-parts N [--allow-rewind]
     gc       --lake L [--keep-versions K] [--staging-age-s S]
@@ -68,6 +70,24 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--n-parts", type=int, default=None)
     ap.add_argument("--exchange", choices=["task", "sort", "actor"], default=None)
 
+    tp = sub.add_parser(
+        "tail",
+        help="continuously ingest a changelog directory (WAL tail; resumes "
+        "from the manifest's consumed-inputs ledger)",
+    )
+    _tenant_args(tp)
+    tp.add_argument("--changelog", required=True, help="directory to watch")
+    tp.add_argument("--n-parts", type=int, default=None)
+    tp.add_argument("--poll-s", type=float, default=2.0)
+    tp.add_argument("--max-rounds", type=int, default=None)
+    tp.add_argument(
+        "--idle-exit",
+        type=int,
+        default=None,
+        help="stop after this many consecutive empty polls (drain mode)",
+    )
+    tp.add_argument("--batch-files", type=int, default=None)
+
     cp = sub.add_parser("compact", help="compact partitions / purge tombstones")
     _tenant_args(cp)
     cp.add_argument("--min-files", type=int, default=2)
@@ -97,7 +117,7 @@ def main(argv: list[str] | None = None) -> int:
 
     args = p.parse_args(argv)
 
-    needs_ray = args.cmd in ("apply", "compact", "reshard", "qa")
+    needs_ray = args.cmd in ("apply", "tail", "compact", "reshard", "qa")
     owns_session = False
     if needs_ray:
         import ray
@@ -113,6 +133,19 @@ def main(argv: list[str] | None = None) -> int:
             eng = _engine(args)
             cl = args.changelog[0] if len(args.changelog) == 1 else args.changelog
             out = eng.apply(cl)
+        elif args.cmd == "tail":
+            from radiant_portal_pipeline_ray.pipelines.tail import tail
+
+            reports = tail(
+                _engine(args),
+                args.changelog,
+                poll_s=args.poll_s,
+                max_rounds=args.max_rounds,
+                idle_exit=args.idle_exit,
+                batch_files=args.batch_files,
+                on_report=lambda r: print(json.dumps(r, default=str)),
+            )
+            out = {"rounds": len(reports)}
         elif args.cmd == "compact":
             from radiant_portal_pipeline_ray.pipelines.maintenance import compact
 

@@ -187,6 +187,14 @@ class CdcEngine:
 
         if not paths:
             return _noop_report(0)
+        # consumption ledger for the tail loop (pipelines/tail.py): input
+        # basename → max lsn, folded into the commit below so file
+        # consumption is exactly-once with the manifest CAS
+        from radiant_portal_pipeline_ray.pipelines.tail import input_max_lsn
+
+        self._input_ledger = {
+            os.path.basename(p): input_max_lsn(p) for p in paths
+        }
         timings: dict[str, float] = {}
         t_mark = time.time()
 
@@ -655,6 +663,7 @@ class CdcEngine:
                 pending_migrations=pending,
                 next_part=partitioner.next_part,
                 metrics={"routing_only": True},
+                consumed_inputs=dict(current.consumed_inputs),
             )
             try:
                 self.lake.commit(man)
@@ -1366,6 +1375,14 @@ class CdcEngine:
                         "timings_s": dict(timings or {}),
                     },
                 },
+            )
+            merged = dict(base.consumed_inputs) if base else {}
+            merged.update(getattr(self, "_input_ledger", {}) or {})
+            mw = manifest.min_watermark()
+            manifest.consumed_inputs = (
+                {k: v for k, v in merged.items() if v > mw}
+                if mw >= 0
+                else merged
             )
             try:
                 committed = self.lake.commit(manifest)

@@ -286,6 +286,7 @@ def compact(
             pending_migrations=base.pending_migrations,
             next_part=base.next_part,
             metrics=base.metrics,
+            consumed_inputs=dict(base.consumed_inputs),
         )
         try:
             committed = lake.commit(manifest)
@@ -508,6 +509,7 @@ def reshard(
             (current.next_part if current.next_part is not None else 0),
         ),
         metrics={"resharded_from": current.n_parts},
+        consumed_inputs=dict(current.consumed_inputs),
     )
     committed = lake.commit(manifest)  # conflict => concurrent writer; abort
     return {

@@ -149,6 +149,13 @@ class Manifest:
     next_part: int = 0
     committed_at: float = 0.0
     metrics: dict = dc_field(default_factory=dict)
+    #: changelog-file consumption ledger for the WAL tail loop: input
+    #: basename → its max lsn, recorded atomically with the commit that
+    #: consumed it. Bounded: entries whose max_lsn <= min_watermark() are
+    #: pruned at commit — such a file is PROVABLY a no-op to re-apply
+    #: (every partition's watermark drops all of its events), so the tail
+    #: can skip it from its parquet footer alone even after pruning.
+    consumed_inputs: dict[str, int] = dc_field(default_factory=dict)
 
     def watermarks(self) -> dict[int, int]:
         return {p: st.watermark_lsn for p, st in self.partitions.items()}
@@ -178,6 +185,7 @@ class Manifest:
             "next_part": self.next_part,
             "committed_at": self.committed_at,
             "metrics": self.metrics,
+            "consumed_inputs": self.consumed_inputs,
         }
 
     @staticmethod
@@ -201,6 +209,10 @@ class Manifest:
             next_part=d.get("next_part", 0),
             committed_at=d.get("committed_at", 0.0),
             metrics=d.get("metrics", {}),
+            consumed_inputs={
+                str(k): int(v)
+                for k, v in d.get("consumed_inputs", {}).items()
+            },
         )
 
 
