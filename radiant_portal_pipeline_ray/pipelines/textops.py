@@ -719,3 +719,92 @@ def _mod(a, m: int):
     # pyarrow: a - (a // m) * m with integer division)
     d = pc.divide(a, m)
     return pc.subtract(a, pc.multiply(d, m))
+
+
+# ---------------------------------------------------------------------------
+# Data mixing: TEMPERATURE-rebalanced sampling (T = 2, the standard
+# multilingual up/down-weighting: a language's share of the sampled budget
+# is proportional to sqrt(its corpus count), flattening the head and
+# boosting the tail). All arithmetic is INTEGER — isqrt + integer division
+# — so the per-language quotas are bit-exactly reproducible in SQL with no
+# float pow/sum ordering hazards. Selection within a language is ascending
+# md5(doc_id) (same stable rule as t_mix_language_quota). Distributed shape:
+# O(langs) driver counts (per-batch partial group-count fold), per-batch
+# top-k_l prune, ONE keyed exchange on lang for the exact final pick.
+# ---------------------------------------------------------------------------
+@_register(
+    "t_mix_temperature",
+    """
+    WITH counts AS (
+      SELECT lang, CAST(COUNT(*) AS BIGINT) AS n FROM documents GROUP BY lang
+    ), s0 AS (
+      SELECT lang, n, CAST(floor(sqrt(CAST(n AS DOUBLE))) AS BIGINT) AS r
+      FROM counts
+    ), s AS (  -- exact integer sqrt: correct the float estimate both ways
+      SELECT lang,
+             CASE WHEN (r + 1) * (r + 1) <= n THEN r + 1
+                  WHEN r * r > n THEN r - 1
+                  ELSE r END AS sq
+      FROM s0
+    ), quota AS (
+      SELECT lang, (400 * sq) // (SELECT SUM(sq) FROM s) AS k FROM s
+    ), ranked AS (
+      SELECT lang, doc_id,
+             row_number() OVER (
+               PARTITION BY lang
+               ORDER BY CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 16)
+                             AS UBIGINT), doc_id
+             ) AS rk
+      FROM documents
+    )
+    SELECT lang, doc_id
+    FROM ranked JOIN quota USING (lang)
+    WHERE rk <= k
+    ORDER BY lang, doc_id
+    """,
+)
+def t_mix_temperature(sf_dir: str, budget: int = 400):
+    import math
+
+    import numpy as np
+    import pyarrow.compute as pc
+
+    from radiant_portal_pipeline_ray.stages.dedup import md5_hash64
+    from radiant_portal_pipeline_ray.stages.taskshuffle import exchange_group
+
+    docs = _docs(sf_dir, ["lang", "doc_id"])
+
+    # phase 1: per-language counts (per-batch partials, O(langs) driver fold)
+    def counts(b: pa.Table) -> pa.Table:
+        g = b.group_by("lang").aggregate([("doc_id", "count")])
+        return g.rename_columns(["lang", "n"])
+
+    n_by_lang: dict[str, int] = {}
+    for row in docs.map_batches(counts, batch_format="pyarrow").take_all():
+        n_by_lang[row["lang"]] = n_by_lang.get(row["lang"], 0) + int(row["n"])
+    sq = {l: math.isqrt(n) for l, n in n_by_lang.items()}
+    ssum = sum(sq.values())
+    k_by_lang = {l: (budget * s) // ssum for l, s in sq.items()} if ssum else {}
+
+    # phase 2: stable per-language top-k_l by md5 order
+    def pick(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t
+        hu = md5_hash64(pc.cast(t.column("doc_id"), pa.string()))
+        h = (hu ^ np.uint64(1 << 63)).view(np.int64)  # uint64 order as int64
+        langs = t.column("lang").to_numpy(zero_copy_only=False)
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, h, langs))
+        ls, hs = langs[order], h[order]
+        starts = np.concatenate(
+            ([0], np.flatnonzero(ls[1:] != ls[:-1]) + 1, [len(ls)])
+        )
+        keep = np.zeros(len(ls), dtype=bool)
+        for i in range(len(starts) - 1):  # O(langs) iterations, not O(rows)
+            s, e = int(starts[i]), int(starts[i + 1])
+            keep[s : min(s + k_by_lang.get(ls[s], 0), e)] = True
+        return t.take(pa.array(order[keep]))
+
+    pruned = docs.map_batches(pick, batch_format="pyarrow")  # ≤ Σk per batch
+    final = exchange_group(pruned, ["lang"], 16, pick)
+    return final.select_columns(["lang", "doc_id"]).sort(["lang", "doc_id"])
