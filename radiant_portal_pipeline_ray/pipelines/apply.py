@@ -46,6 +46,7 @@ import glob
 import os
 import time
 
+import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 import pyarrow.parquet as pq
@@ -664,6 +665,7 @@ class CdcEngine:
                 next_part=partitioner.next_part,
                 metrics={"routing_only": True},
                 consumed_inputs=dict(current.consumed_inputs),
+                quarantine_files=list(current.quarantine_files),
             )
             try:
                 self.lake.commit(man)
@@ -746,6 +748,7 @@ class CdcEngine:
             watermarks,
             partitioner.max_part_id(),
             salt_hash_version=self._salt_v,
+            quarantine=True,
         )
         cpus = (
             int(ray.cluster_resources().get("CPU", 8))
@@ -836,14 +839,25 @@ class CdcEngine:
 
         events_pushed = 0
         parts_seen: set[int] = set()
+        q_tabs: list = []
+        q_dropped = 0
         for s in ray.get(stats_refs):
             events_pushed += int(s["events"])
             parts_seen.update(int(p) for p in s["parts"])
+            if s.get("quarantine") is not None:
+                q_tabs.append(s["quarantine"])
+                q_dropped += int(s.get("quarantine_dropped", 0))
         changed_parts = set(parts_seen)
         for d, old_parts in pending.items():
             changed_parts.update(old_parts)
             changed_parts.update(partitioner.salt_map.get(d, []))
         if not changed_parts:
+            if q_tabs:
+                # the whole batch was malformed: commit a quarantine-only
+                # version so the DLQ record survives
+                return self._commit_quarantine_only(
+                    t0, current, q_tabs, q_dropped, noop_report
+                )
             return noop_report(0)
 
         # stable changed partitions merge their committed files locally
@@ -858,6 +872,7 @@ class CdcEngine:
         from radiant_portal_pipeline_ray.stages.merge import MergeKernel
 
         txn_id = self.lake.new_txn_id()
+        quarantine_info = self._write_quarantine(txn_id, q_tabs, q_dropped)
         staging = self.lake.staging_dir(txn_id)
         kernel = MergeKernel(
             txn_id=txn_id,
@@ -907,6 +922,7 @@ class CdcEngine:
             snapshot_schema,
             watermarks,
             noop_report,
+            quarantine=quarantine_info,
         )
 
     # ------------------------------------------------------------------
@@ -1093,6 +1109,95 @@ class CdcEngine:
         )
 
     # ------------------------------------------------------------------
+    def _write_quarantine(
+        self, txn_id: str, q_tabs: list, q_dropped: int
+    ) -> dict | None:
+        """Write one dead-letter file for this txn (malformed events +
+        reason column). Same pre-commit contract as promoted data files: a
+        crash before the commit leaves it unreferenced → gc_orphans
+        reclaims it after quiescence."""
+        if not q_tabs:
+            return None
+        qtable = pa.concat_tables(q_tabs, promote_options="permissive")
+        rel = f"data/quarantine/{txn_id}.parquet"
+        abspath = self.lake.abspath(rel)
+        self.lake._makedirs(abspath.rsplit("/", 1)[0])
+        pq.write_table(
+            qtable,
+            abspath,
+            compression="zstd",
+            filesystem=self.lake.pyarrow_fs()
+            if self.lake.filesystem is not None
+            else None,
+        )
+        u, c = np.unique(
+            qtable.column("reason").to_numpy(zero_copy_only=False),
+            return_counts=True,
+        )
+        by_reason = dict(zip(u.tolist(), c.tolist()))
+        return {
+            "file": rel,
+            "rows": qtable.num_rows,
+            "dropped_overflow": q_dropped,
+            "by_reason": {k: int(v) for k, v in by_reason.items()},
+        }
+
+    def _commit_quarantine_only(
+        self, t0, current, q_tabs: list, q_dropped: int, noop_report
+    ) -> dict:
+        """Every event in the batch was malformed: no partition changes, but
+        the DLQ record must still commit (a silent noop would lose it)."""
+        txn_id = self.lake.new_txn_id()
+        qinfo = self._write_quarantine(txn_id, q_tabs, q_dropped)
+        base = self.lake.current_manifest()
+        man = Manifest(
+            version=(base.version + 1) if base else 1,
+            txn_id=txn_id,
+            parent_version=base.version if base else None,
+            schema=base.schema if base else None,
+            n_parts=base.n_parts if base else self.cfg.n_parts,
+            partitions=dict(base.partitions) if base else {},
+            salt_map=dict(base.salt_map) if base else {},
+            salt_hash_version=base.salt_hash_version if base else self._salt_v,
+            salt_hash_fingerprint=(
+                base.salt_hash_fingerprint if base else self._salt_fp
+            ),
+            pending_migrations=dict(base.pending_migrations) if base else {},
+            next_part=base.next_part if base else self.cfg.n_parts,
+            metrics={"quarantine_only": True, "quarantine": qinfo},
+            consumed_inputs={
+                **(dict(base.consumed_inputs) if base else {}),
+                **(getattr(self, "_input_ledger", {}) or {}),
+            },
+            quarantine_files=(list(base.quarantine_files) if base else [])
+            + [qinfo["file"]],
+        )
+        committed = self.lake.commit(man)
+        rep = noop_report(0)
+        rep.update(
+            {
+                "noop": False,
+                "version": committed.version,
+                "rows_quarantined": qinfo["rows"],
+                "quarantine": qinfo,
+            }
+        )
+        return rep
+
+    def read_quarantine(self, version: int | None = None) -> "rd.Dataset":
+        """Dead-letter queue as a streaming Dataset (malformed change events
+        with their ``reason``); empty Dataset when nothing was quarantined."""
+        man = (
+            self.lake.read_manifest(version)
+            if version is not None
+            else self.lake.current_manifest()
+        )
+        files = [self.lake.abspath(f) for f in (man.quarantine_files if man else [])]
+        if not files:
+            empty = pa.table({"reason": pa.array([], type=pa.string())})
+            return rd.from_arrow(empty)
+        return rd.read_parquet(files, filesystem=self.lake.pyarrow_fs())
+
     def _post_merge(
         self,
         t0,
@@ -1106,6 +1211,7 @@ class CdcEngine:
         snapshot_schema,
         watermarks,
         noop_report,
+        quarantine: dict | None = None,
     ) -> dict:
         """Shared tail of an apply round (both exchange paths): salting
         decisions from merge metadata, watermark seeding, two-phase commit,
@@ -1162,8 +1268,12 @@ class CdcEngine:
             merge_base=current,
             wm_seed=wm_seed,
             timings=timings,
+            quarantine=quarantine,
         )
         _lap("commit")
+        if quarantine is not None:
+            report["rows_quarantined"] = quarantine["rows"]
+            report["quarantine"] = quarantine
         report.update(
             {
                 "events_in": events_seen,
@@ -1220,6 +1330,7 @@ class CdcEngine:
         merge_base: Manifest | None = None,
         wm_seed: dict[int, int] | None = None,
         timings: dict | None = None,
+        quarantine: dict | None = None,
     ) -> dict:
         """Rebuild-manifest-and-retry loop; analogue of the reference's
         Iceberg commit retry (`radiant/tasks/iceberg/utils.py:73-96`).
@@ -1384,6 +1495,15 @@ class CdcEngine:
                 if mw >= 0
                 else merged
             )
+            manifest.quarantine_files = (
+                list(base.quarantine_files) if base else []
+            )
+            if quarantine is not None:
+                manifest.quarantine_files.append(quarantine["file"])
+                manifest.metrics["last_apply"]["rows_quarantined"] = (
+                    quarantine["rows"]
+                )
+                manifest.metrics["quarantine"] = quarantine
             try:
                 committed = self.lake.commit(manifest)
                 return {

@@ -287,6 +287,7 @@ def compact(
             next_part=base.next_part,
             metrics=base.metrics,
             consumed_inputs=dict(base.consumed_inputs),
+            quarantine_files=list(base.quarantine_files),
         )
         try:
             committed = lake.commit(manifest)
@@ -510,6 +511,7 @@ def reshard(
         ),
         metrics={"resharded_from": current.n_parts},
         consumed_inputs=dict(current.consumed_inputs),
+        quarantine_files=list(current.quarantine_files),
     )
     committed = lake.commit(manifest)  # conflict => concurrent writer; abort
     return {

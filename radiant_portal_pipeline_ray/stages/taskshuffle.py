@@ -128,6 +128,13 @@ def split_task(
     per_bucket: list[list[pa.Table]] = [[] for _ in range(n_buckets)]
     events = 0
     parts_seen: set[int] = set()
+    #: malformed events split off by the normalizer (quarantine mode): the
+    #: rows ride back in the stats object — pathological by definition, so
+    #: capped per task; overflow is counted, never silently lost
+    q_tables: list[pa.Table] = []
+    q_rows = 0
+    q_dropped = 0
+    _Q_CAP = 100_000
     for p, rgs in by_file.items():
         pf = (
             pq.ParquetFile(filesystem.open(p, "rb"))
@@ -152,6 +159,14 @@ def split_task(
                 rgs = kept
         for rg in rgs:
             t = transform(pf.read_row_group(rg))
+            if isinstance(t, tuple):
+                t, qt = t
+                if qt is not None and qt.num_rows:
+                    take = min(qt.num_rows, _Q_CAP - q_rows)
+                    if take > 0:
+                        q_tables.append(qt.slice(0, take))
+                        q_rows += take
+                    q_dropped += qt.num_rows - take
             if not t.num_rows:
                 continue
             events += t.num_rows
@@ -167,8 +182,17 @@ def split_task(
                     per_bucket[b].append(ts.slice(lo, hi - lo))
             parts_seen.update(np.unique(parts).astype(int).tolist())
 
+    quarantine = (
+        pa.concat_tables(q_tables, promote_options="permissive").combine_chunks()
+        if q_tables
+        else None
+    )
     if not events:
-        return tuple([{"events": 0, "parts": []}] + [None] * n_buckets)
+        stats = {"events": 0, "parts": []}
+        if quarantine is not None:
+            stats["quarantine"] = quarantine
+            stats["quarantine_dropped"] = q_dropped
+        return tuple([stats] + [None] * n_buckets)
     buckets: list[pa.Table | None] = [
         pa.concat_tables(bl, promote_options="permissive").combine_chunks()
         if bl
@@ -176,6 +200,9 @@ def split_task(
         for bl in per_bucket
     ]
     stats = {"events": events, "parts": sorted(parts_seen)}
+    if quarantine is not None:
+        stats["quarantine"] = quarantine
+        stats["quarantine_dropped"] = q_dropped
     return tuple([stats] + buckets)
 
 

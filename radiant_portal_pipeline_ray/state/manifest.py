@@ -156,6 +156,10 @@ class Manifest:
     #: (every partition's watermark drops all of its events), so the tail
     #: can skip it from its parquet footer alone even after pruning.
     consumed_inputs: dict[str, int] = dc_field(default_factory=dict)
+    #: dead-letter queue: lake-relative parquet files holding malformed
+    #: change events (original columns + reason), one file per txn that
+    #: quarantined anything. Referenced here so gc_orphans keeps them.
+    quarantine_files: list[str] = dc_field(default_factory=list)
 
     def watermarks(self) -> dict[int, int]:
         return {p: st.watermark_lsn for p, st in self.partitions.items()}
@@ -186,6 +190,7 @@ class Manifest:
             "committed_at": self.committed_at,
             "metrics": self.metrics,
             "consumed_inputs": self.consumed_inputs,
+            "quarantine_files": self.quarantine_files,
         }
 
     @staticmethod
@@ -213,6 +218,7 @@ class Manifest:
                 str(k): int(v)
                 for k, v in d.get("consumed_inputs", {}).items()
             },
+            quarantine_files=list(d.get("quarantine_files", [])),
         )
 
 
@@ -563,6 +569,7 @@ class Lake:
             man = self.read_manifest(v)
             for st in man.partitions.values():
                 referenced.update(st.files)
+            referenced.update(man.quarantine_files)
         for entry in self._listdir(self.data_dir):
             pdir = self._join(self.data_dir, entry)
             if not self._isdir(pdir):
