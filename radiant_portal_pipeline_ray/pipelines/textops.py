@@ -722,6 +722,102 @@ def _mod(a, m: int):
 
 
 # ---------------------------------------------------------------------------
+# Rare-token fraction: the integer-exact OOV-rate quality signal (what share
+# of a doc's tokens have corpus frequency < K). The scale shape inverts the
+# lookup: the COMMON vocabulary (count >= K) is the zipf head — bounded by
+# total_tokens / K entries — so it broadcasts to every task while the long
+# tail (the unbounded side) never leaves the distributed count. Phase 1 is a
+# per-batch partial token count folded through one keyed exchange with a
+# HAVING-style filter; phase 2 is a pure map_batches membership test.
+# ---------------------------------------------------------------------------
+@_register(
+    "t_rare_token_frac",
+    """
+    WITH toks AS (
+      SELECT doc_id, unnest(list_filter(string_split(trim(text), ' '),
+                                        x -> x <> '')) AS tok
+      FROM documents
+    ), common AS (
+      SELECT tok FROM toks GROUP BY tok HAVING COUNT(*) >= 5
+    )
+    SELECT t.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(SUM(CASE WHEN c.tok IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_rare
+    FROM toks t LEFT JOIN common c ON t.tok = c.tok
+    GROUP BY t.doc_id
+    ORDER BY t.doc_id
+    """,
+)
+def t_rare_token_frac(sf_dir: str, min_count: int = 5):
+    import numpy as np
+    import pyarrow.compute as pc
+    import ray
+
+    from radiant_portal_pipeline_ray.stages.taskshuffle import exchange_group
+
+    docs = _docs(sf_dir, ["doc_id", "text"])
+
+    def token_rows(b: pa.Table) -> pa.Table:
+        toks = pc.list_flatten(
+            pc.split_pattern(pc.utf8_trim_whitespace(b.column("text")), " ")
+        )
+        toks = toks.filter(pc.not_equal(toks, ""))
+        # per-batch partial count (combiner before the exchange)
+        g = pa.table({"tok": toks}).group_by("tok").aggregate([("tok", "count")])
+        return g.rename_columns(["tok", "n"])
+
+    def common_only(t: pa.Table) -> pa.Table:
+        g = t.group_by("tok").aggregate([("n", "sum")])
+        return g.filter(
+            pc.greater_equal(g.column("n_sum"), min_count)
+        ).select(["tok"])
+
+    partials = docs.map_batches(token_rows, batch_format="pyarrow")
+    common_ds = exchange_group(partials, ["tok"], 16, common_only)
+    common_tabs = [t for t in ray.get(common_ds.materialize().to_arrow_refs())
+                   if t.num_rows]
+    common = (
+        pa.concat_tables(common_tabs).column("tok").combine_chunks()
+        if common_tabs
+        else pa.array([], pa.string())
+    )
+    common_ref = ray.put(common)  # broadcast once, read per task
+
+    class RareFrac:
+        def __init__(self, ref):
+            self.common = ray.get(ref)  # zero-copy from plasma per actor
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            text = b.column("text")
+            lt = pc.split_pattern(pc.utf8_trim_whitespace(text), " ")
+            flat = pc.list_flatten(lt)
+            parent = pc.list_parent_indices(lt).to_numpy(zero_copy_only=False)
+            keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+            parent = parent[keep]
+            flat = flat.filter(pa.array(keep))
+            rare = pc.invert(
+                pc.fill_null(pc.is_in(flat, value_set=self.common), False)
+            ).to_numpy(zero_copy_only=False)
+            n_tok = np.bincount(parent, minlength=b.num_rows).astype(np.int64)
+            n_rare = np.bincount(
+                parent, weights=rare.astype(np.float64), minlength=b.num_rows
+            ).astype(np.int64)
+            out = pa.table(
+                {
+                    "doc_id": b.column("doc_id"),
+                    "n_tokens": pa.array(n_tok, pa.int64()),
+                    "n_rare": pa.array(n_rare, pa.int64()),
+                }
+            )
+            # the oracle's GROUP BY drops token-less docs; mirror that
+            return out.filter(pc.greater(out.column("n_tokens"), 0))
+
+    scored = docs.map_batches(RareFrac(common_ref), batch_format="pyarrow")
+    return scored.sort("doc_id")
+
+
+# ---------------------------------------------------------------------------
 # Data mixing: TEMPERATURE-rebalanced sampling (T = 2, the standard
 # multilingual up/down-weighting: a language's share of the sampled budget
 # is proportional to sqrt(its corpus count), flattening the head and
