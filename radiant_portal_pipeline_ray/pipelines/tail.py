@@ -89,6 +89,7 @@ def tail(
     idle_exit: int | None = None,
     batch_files: int | None = None,
     on_report=None,
+    sig_index=None,
 ) -> list[dict]:
     """Poll ``changelog_dir`` and apply new files as they appear.
 
@@ -98,8 +99,17 @@ def tail(
     - ``batch_files``: cap files per apply round (micro-batch sizing; a
       round's delta must fit the cluster's object-store budget —
       BASELINE.md large-scale note).
+    - ``sig_index``: a ``SignatureIndex`` to maintain continuously — built
+      from the first committed version, then probed+updated per commit
+      (``ingest_round``), so near-duplicates of every incoming document are
+      detected AT INGEST TIME in O(changed); each round's pairs persist to
+      ``<index root>/pairs/v{version}.parquet`` and the report carries
+      ``neardup_pairs``.
     Returns the apply reports in execution order.
     """
+    import pyarrow.parquet as _pq
+    import ray as _ray
+
     reports: list[dict] = []
     rounds = 0
     idle = 0
@@ -109,8 +119,39 @@ def tail(
             new = new[:batch_files]
         if new:
             idle = 0
+            v_prev = engine.lake.current_version()
             rep = engine.apply(new)
             rep["consumed_files"] = [os.path.basename(p) for p in new]
+            v_new = rep.get("version")
+            if sig_index is not None and v_new is not None:
+                if sig_index.version is None:
+                    sig_index.build(engine, v_new)
+                    rep["sig_index"] = {"built_at": v_new}
+                elif v_prev is not None and v_new != v_prev:
+                    if sig_index.version != v_prev:
+                        raise ValueError(
+                            f"signature index at version {sig_index.version} "
+                            f"cannot follow lake {v_prev}->{v_new}; rebuild it"
+                        )
+                    pairs, stats = sig_index.ingest_round(engine, v_prev, v_new)
+                    tabs = [
+                        t
+                        for t in _ray.get(pairs.materialize().to_arrow_refs())
+                        if t.num_rows
+                    ]
+                    n_pairs = sum(t.num_rows for t in tabs)
+                    if tabs:
+                        import pyarrow as _pa
+
+                        pdir = os.path.join(sig_index.root, "pairs")
+                        os.makedirs(pdir, exist_ok=True)
+                        _pq.write_table(
+                            _pa.concat_tables(tabs, promote_options="permissive"),
+                            os.path.join(pdir, f"v{v_new:06d}.parquet"),
+                            compression="zstd",
+                        )
+                    rep["neardup_pairs"] = n_pairs
+                    rep["sig_index"] = stats
             reports.append(rep)
             if on_report is not None:
                 on_report(rep)

@@ -148,6 +148,78 @@ def test_tail_cli_drain(ray_session, tmp_path, capsys):
     assert rep["consumed_files"] == ["b0000.parquet"]
 
 
+def test_tail_with_signature_index(ray_session, tmp_path):
+    """Continuous ingest + continuous near-dup: the index builds at the
+    first commit, then every subsequent round probes the increment against
+    it and persists the pairs."""
+    from radiant_portal_pipeline_ray.pipelines.incremental_dedup import (
+        SignatureIndex,
+    )
+
+    cl = tmp_path / "cl"
+    cl.mkdir()
+    # batch 1: 40 distinct docs (few-token texts are below the shingle k —
+    # make them long enough to sign)
+    def _docs_batch(path, lsn_start, texts):
+        lsn = np.arange(lsn_start, lsn_start + len(texts), dtype=np.int64)
+        urls = [f"https://d{i % 4}.example.org/doc/{i:05d}" for i in lsn]
+        html = pa.array(
+            [f"<html><body><p>{tx}</p></body></html>".encode() for tx in texts],
+            pa.binary(),
+        )
+        from radiant_portal_pipeline_ray.functions.text import extract_text
+
+        t = pa.Table.from_pydict(
+            {
+                "lsn": pa.array(lsn),
+                "op": pa.array(["I"] * len(texts)),
+                "url": pa.array(urls),
+                "warc_ts": pa.array(
+                    (_T0 + lsn * _US).astype("datetime64[us]"),
+                    pa.timestamp("us"),
+                ),
+                "html": html,
+                "text": extract_text(html),
+                "lang": pa.array(["en"] * len(texts)),
+            },
+            schema=CHANGELOG_SCHEMA,
+        )
+        pq.write_table(t, str(path))
+
+    base_texts = [
+        f"the quick brown fox jumps over the lazy dog number {i} "
+        f"in a long deterministic sentence used for shingling tests"
+        for i in range(40)
+    ]
+    _docs_batch(cl / "b0000.parquet", 0, base_texts)
+    eng = CdcEngine(str(tmp_path / "lake"), EngineConfig(n_parts=4))
+    idx = SignatureIndex(str(tmp_path / "sigidx"), n_buckets=8)
+
+    r1 = tail(eng, str(cl), poll_s=0.0, idle_exit=1, sig_index=idx)
+    assert r1[0]["sig_index"] == {"built_at": 1}
+    assert idx.version == 1
+
+    # batch 2: 5 near-copies of batch-1 docs (one word changed) under NEW
+    # urls + 5 unrelated docs
+    dup_texts = [t.replace("lazy", "sleepy") for t in base_texts[:5]]
+    new_texts = [
+        f"completely different content about topic {i} with many unique "
+        f"words that share nothing with the first batch {i}"
+        for i in range(5)
+    ]
+    _docs_batch(cl / "b0001.parquet", 1000, dup_texts + new_texts)
+    r2 = tail(eng, str(cl), poll_s=0.0, idle_exit=1, sig_index=idx)
+    assert idx.version == 2
+    assert r2[0]["neardup_pairs"] >= 5  # each near-copy collides with its base
+    pairs_file = tmp_path / "sigidx" / "pairs" / "v000002.parquet"
+    assert pairs_file.exists()
+    pt = pq.read_table(str(pairs_file))
+    assert pt.num_rows == r2[0]["neardup_pairs"]
+    # every detected pair is (new incoming url, previously indexed url)
+    news = {u for u in pt.column("new_url").to_pylist()}
+    assert all("doc/01" in u for u in news)  # lsn >= 1000 urls
+
+
 def test_batch_files_caps_round_size(ray_session, tmp_path):
     cl = tmp_path / "cl"
     cl.mkdir()
