@@ -1282,3 +1282,344 @@ def q_asof_latest_order(sf_dir: str, n_buckets: int = 64):
     return exchange_join(
         ev, orders, ["user_id"], ["o_custkey"], n_buckets, asof_bucket
     ).sort("event_id")
+
+
+# ---------------------------------------------------------------------------
+# W1 generalized: top-N per key (N>1) — the distributed window-rank shape
+# ref: exomiser_insert_partition_delta.sql:9 rank-1 pick, generalized to the
+#      "keep N best per entity" curation shape. Per-batch prune leaves ≤N
+#      rows per key per batch, so the exchange moves O(keys·N) rows.
+# ---------------------------------------------------------------------------
+@_register(
+    "q_top3_orders_per_customer",
+    """
+    SELECT o_custkey, o_orderkey, o_orderdate,
+           CAST(ROUND(o_totalprice*100) AS BIGINT) AS totalprice_c
+    FROM orders
+    QUALIFY row_number() OVER (
+      PARTITION BY o_custkey ORDER BY o_orderdate DESC, o_orderkey DESC) <= 3
+    ORDER BY o_custkey, o_orderdate DESC, o_orderkey DESC
+    """,
+)
+def q_top3_orders_per_customer(sf_dir: str):
+    orders = read_parquet_clean(
+        _pq(sf_dir, "orders"),
+        columns=["o_custkey", "o_orderkey", "o_orderdate", "o_totalprice"],
+    )
+    top = topk_per_key(
+        orders,
+        ["o_custkey"],
+        [("o_orderdate", "descending"), ("o_orderkey", "descending")],
+        k=3,
+    )
+    return top.map_batches(
+        lambda b: pa.table(
+            {
+                "o_custkey": b.column("o_custkey"),
+                "o_orderkey": b.column("o_orderkey"),
+                "o_orderdate": b.column("o_orderdate"),
+                "totalprice_c": _to_cents(b.column("o_totalprice")),
+            }
+        ),
+        batch_format="pyarrow",
+    ).sort(
+        ["o_custkey", "o_orderdate", "o_orderkey"],
+        descending=[False, True, True],
+    )
+
+
+# ---------------------------------------------------------------------------
+# A3 generalized: ROLLUP (hierarchical grouping-sets aggregate) — computed
+# once at the finest grain with per-batch partial combining; the coarser
+# levels (region, grand total) fold from the finest result, which is only
+# O(#nations) rows, so no second pass over the fact table.
+# ref: the reference computes the same frequency roll-up twice at two grains
+#      (germline_snv_staging_variant_freq_insert.sql then
+#      germline_snv_variant_frequency_insert.sql); ROLLUP folds the coarse
+#      grain from the fine one instead of re-scanning.
+# ---------------------------------------------------------------------------
+@_register(
+    "q_rollup_revenue",
+    """
+    SELECT r_name AS region_name, n_name AS nation_name,
+           SUM(CAST(ROUND(o_totalprice*100) AS BIGINT)) AS revenue_c,
+           COUNT(*) AS n_orders
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    GROUP BY ROLLUP(r_name, n_name)
+    ORDER BY region_name NULLS FIRST, nation_name NULLS FIRST
+    """,
+)
+def q_rollup_revenue(sf_dir: str):
+    cust = pq.read_table(_pq(sf_dir, "customer"), columns=["c_custkey", "c_nationkey"])
+    nation = pq.read_table(
+        _pq(sf_dir, "nation"), columns=["n_nationkey", "n_name", "n_regionkey"]
+    )
+    region = pq.read_table(_pq(sf_dir, "region"), columns=["r_regionkey", "r_name"])
+    dim = cust.join(nation, keys=["c_nationkey"], right_keys=["n_nationkey"]).join(
+        region, keys=["n_regionkey"], right_keys=["r_regionkey"]
+    )
+    dim = dim.select(["c_custkey", "r_name", "n_name"]).rename_columns(
+        ["c_custkey", "region_name", "nation_name"]
+    )
+    orders = read_parquet_clean(
+        _pq(sf_dir, "orders"), columns=["o_custkey", "o_totalprice"]
+    )
+    joined = orders.map_batches(
+        make_broadcast_join(dim, ["o_custkey"], ["c_custkey"], how="inner"),
+        batch_format="pyarrow",
+    )
+
+    def to_int(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "region_name": b.column("region_name"),
+                "nation_name": b.column("nation_name"),
+                "price_c": _to_cents(b.column("o_totalprice")),
+                "one": pa.array(np.ones(b.num_rows, dtype=np.int64)),
+            }
+        )
+
+    fine = partial_final_groupby(
+        joined.map_batches(to_int, batch_format="pyarrow"),
+        ["region_name", "nation_name"],
+        [("price_c", "sum", "revenue_c"), ("one", "sum", "n_orders")],
+    )
+
+    def rollup(t: pa.Table) -> pa.Table:
+        # coarser grouping sets fold from the finest grain (≤ #nations rows)
+        lvl1 = t.select(["region_name", "nation_name", "revenue_c", "n_orders"])
+        by_region = t.group_by(["region_name"]).aggregate(
+            [("revenue_c", "sum"), ("n_orders", "sum")]
+        )
+        lvl2 = pa.table(
+            {
+                "region_name": by_region.column("region_name"),
+                "nation_name": pa.nulls(by_region.num_rows, pa.string()),
+                "revenue_c": by_region.column("revenue_c_sum"),
+                "n_orders": by_region.column("n_orders_sum"),
+            }
+        )
+        lvl3 = pa.table(
+            {
+                "region_name": pa.nulls(1, pa.string()),
+                "nation_name": pa.nulls(1, pa.string()),
+                "revenue_c": pa.array(
+                    [pc.sum(t.column("revenue_c")).as_py() or 0], pa.int64()
+                ),
+                "n_orders": pa.array(
+                    [pc.sum(t.column("n_orders")).as_py() or 0], pa.int64()
+                ),
+            }
+        )
+        out = pa.concat_tables(
+            [lvl3, lvl2, lvl1.cast(lvl2.schema)]
+        )
+        idx = pc.sort_indices(
+            out,
+            sort_keys=[("region_name", "ascending"), ("nation_name", "ascending")],
+            null_placement="at_start",
+        )
+        return out.take(idx)
+
+    def normalize_types(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "region_name": b.column("region_name"),
+                "nation_name": b.column("nation_name"),
+                "revenue_c": pc.cast(b.column("revenue_c"), pa.int64()),
+                "n_orders": pc.cast(b.column("n_orders"), pa.int64()),
+            }
+        )
+
+    # the fine grain is O(#nations) rows — fold the rollup in one block
+    return (
+        fine.map_batches(normalize_types, batch_format="pyarrow")
+        .repartition(1)
+        .map_batches(rollup, batch_format="pyarrow", batch_size=None)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Window function: per-key running cumulative sum (ordered prefix aggregate).
+# Keys co-locate through the keyed task shuffle; each bucket computes ALL its
+# keys' prefix sums in one vectorized pass (lexsort → global cumsum → per-key
+# base subtraction). Integer cents per-row before summing, so the result is
+# order-of-summation exact.
+# ---------------------------------------------------------------------------
+@_register(
+    "q_running_total",
+    """
+    SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+           SUM(CAST(ROUND(value*100) AS BIGINT)) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id) AS running_c
+    FROM events
+    ORDER BY user_id, ts_us, event_id
+    """,
+)
+def q_running_total(sf_dir: str, n_partitions: int = 64):
+    ev = read_parquet_clean(
+        _pq(sf_dir, "events"), columns=["event_id", "user_id", "ts", "value"]
+    )
+
+    def prefix_sums(group: pa.Table) -> pa.Table:
+        u = group.column("user_id").to_numpy(zero_copy_only=False)
+        ts = pc.cast(group.column("ts"), pa.int64()).to_numpy(zero_copy_only=False)
+        eid = group.column("event_id").to_numpy(zero_copy_only=False)
+        cents = (
+            _to_cents(group.column("value")).to_numpy(zero_copy_only=False)
+        )
+        order = np.lexsort((eid, ts, u))
+        u, ts, eid, cents = u[order], ts[order], eid[order], cents[order]
+        n = len(u)
+        if n == 0:
+            return pa.table(
+                {
+                    "event_id": pa.array([], pa.int64()),
+                    "user_id": pa.array([], pa.int64()),
+                    "ts_us": pa.array([], pa.int64()),
+                    "running_c": pa.array([], pa.int64()),
+                }
+            )
+        cum = np.cumsum(cents)
+        user_start = np.empty(n, dtype=bool)
+        user_start[0] = True
+        user_start[1:] = u[1:] != u[:-1]
+        starts = np.flatnonzero(user_start)
+        # base = cumulative sum just BEFORE each user's first row
+        base_vals = cum[starts] - cents[starts]
+        lens = np.diff(np.append(starts, n))
+        running = cum - np.repeat(base_vals, lens)
+        return pa.table(
+            {
+                "event_id": pa.array(eid, type=pa.int64()),
+                "user_id": pa.array(u, type=pa.int64()),
+                "ts_us": pa.array(ts, type=pa.int64()),
+                "running_c": pa.array(running, type=pa.int64()),
+            }
+        )
+
+    from radiant_portal_pipeline_ray.stages.taskshuffle import exchange_group
+
+    return exchange_group(ev, ["user_id"], n_partitions, prefix_sums).sort(
+        ["user_id", "ts_us", "event_id"]
+    )
+
+
+# ---------------------------------------------------------------------------
+# Window function: LAG — inter-event gap per key (NULL for each key's first
+# row). Same bucket kernel shape as the prefix sum: one lexsort, one diff,
+# null mask at key starts.
+# ---------------------------------------------------------------------------
+@_register(
+    "q_event_gaps",
+    """
+    SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+           epoch_us(ts) - LAG(epoch_us(ts)) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+    FROM events
+    ORDER BY user_id, ts_us, event_id
+    """,
+)
+def q_event_gaps(sf_dir: str, n_partitions: int = 64):
+    ev = read_parquet_clean(
+        _pq(sf_dir, "events"), columns=["event_id", "user_id", "ts"]
+    )
+
+    def lag_gaps(group: pa.Table) -> pa.Table:
+        u = group.column("user_id").to_numpy(zero_copy_only=False)
+        ts = pc.cast(group.column("ts"), pa.int64()).to_numpy(zero_copy_only=False)
+        eid = group.column("event_id").to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, ts, u))
+        u, ts, eid = u[order], ts[order], eid[order]
+        n = len(u)
+        if n == 0:
+            return pa.table(
+                {
+                    "event_id": pa.array([], pa.int64()),
+                    "user_id": pa.array([], pa.int64()),
+                    "ts_us": pa.array([], pa.int64()),
+                    "gap_us": pa.array([], pa.int64()),
+                }
+            )
+        gaps = np.empty(n, dtype=np.int64)
+        gaps[0] = 0
+        gaps[1:] = ts[1:] - ts[:-1]
+        is_first = np.empty(n, dtype=bool)
+        is_first[0] = True
+        is_first[1:] = u[1:] != u[:-1]
+        return pa.table(
+            {
+                "event_id": pa.array(eid, type=pa.int64()),
+                "user_id": pa.array(u, type=pa.int64()),
+                "ts_us": pa.array(ts, type=pa.int64()),
+                "gap_us": pa.array(gaps, type=pa.int64(), mask=is_first),
+            }
+        )
+
+    from radiant_portal_pipeline_ray.stages.taskshuffle import exchange_group
+
+    return exchange_group(ev, ["user_id"], n_partitions, lag_gaps).sort(
+        ["user_id", "ts_us", "event_id"]
+    )
+
+
+# ---------------------------------------------------------------------------
+# Pivot (wide conditional aggregate): event_type values become columns, one
+# row per user. Pure partial+final groupby over per-batch conditional
+# integer sums — no per-type scans, no shuffle of raw rows.
+# ref: the reference's A1 conditional-count shape
+#      (germline_snv_staging_variant_freq_insert.sql CASE WHEN ... aggregates)
+#      widened to a full pivot.
+# ---------------------------------------------------------------------------
+_PIVOT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def _pivot_sql() -> str:
+    cases = ",\n           ".join(
+        f"SUM(CASE WHEN event_type = '{t}' THEN"
+        f" CAST(ROUND(value*100) AS BIGINT) ELSE 0 END) AS {t}_c"
+        for t in _PIVOT_TYPES
+    )
+    return f"""
+    SELECT user_id,
+           {cases},
+           COUNT(*) AS n_events
+    FROM events
+    GROUP BY user_id
+    ORDER BY user_id
+    """
+
+
+@_register("q_pivot_event_values", _pivot_sql())
+def q_pivot_event_values(sf_dir: str):
+    ev = read_parquet_clean(
+        _pq(sf_dir, "events"), columns=["user_id", "event_type", "value"]
+    )
+
+    def widen(b: pa.Table) -> pa.Table:
+        cents = _to_cents(b.column("value"))
+        et = b.column("event_type")
+        zero = pa.scalar(0, pa.int64())
+        cols = {"user_id": b.column("user_id")}
+        for t in _PIVOT_TYPES:
+            cols[f"{t}_c"] = pc.if_else(pc.equal(et, t), cents, zero)
+        cols["one"] = pa.array(np.ones(b.num_rows, dtype=np.int64))
+        return pa.table(cols)
+
+    agg = partial_final_groupby(
+        ev.map_batches(widen, batch_format="pyarrow"),
+        ["user_id"],
+        [(f"{t}_c", "sum", f"{t}_c") for t in _PIVOT_TYPES]
+        + [("one", "sum", "n_events")],
+    )
+    return agg.map_batches(
+        lambda b: pa.table(
+            {"user_id": b.column("user_id")}
+            | {f"{t}_c": pc.cast(b.column(f"{t}_c"), pa.int64()) for t in _PIVOT_TYPES}
+            | {"n_events": pc.cast(b.column("n_events"), pa.int64())}
+        ),
+        batch_format="pyarrow",
+    ).sort("user_id")

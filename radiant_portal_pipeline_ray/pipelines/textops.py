@@ -904,3 +904,57 @@ def t_mix_temperature(sf_dir: str, budget: int = 400):
     pruned = docs.map_batches(pick, batch_format="pyarrow")  # ≤ Σk per batch
     final = exchange_group(pruned, ["lang"], 16, pick)
     return final.select_columns(["lang", "doc_id"]).sort(["lang", "doc_id"])
+
+
+# ---------------------------------------------------------------------------
+# Stratified hash sampling: an independent deterministic rate PER STRATUM
+# (here: keep 10% of the head language, 50% of the tail) — the standard
+# "downsample the dominant language, keep the rare ones" mixing move. Pure
+# map_batches filter like t_hash_sample — no shuffle, stable under
+# repartitioning and corpus growth (membership depends only on doc_id).
+# ---------------------------------------------------------------------------
+_STRATA_RATES = {"en": 10}  # percent; every other lang falls back to 50
+_STRATA_DEFAULT = 50
+
+
+def _stratified_sql() -> str:
+    whens = " ".join(
+        f"WHEN lang = '{lang}' THEN {rate}" for lang, rate in _STRATA_RATES.items()
+    )
+    return f"""
+    SELECT doc_id, lang
+    FROM (
+      SELECT doc_id, lang,
+             CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 16)
+                  AS UBIGINT) AS h,
+             CASE {whens} ELSE {_STRATA_DEFAULT} END AS rate
+      FROM documents
+    )
+    WHERE h % 100 < rate
+    ORDER BY doc_id
+    """
+
+
+@_register("t_stratified_sample", _stratified_sql())
+def t_stratified_sample(sf_dir: str):
+    import numpy as np
+    import pyarrow.compute as pc
+
+    from radiant_portal_pipeline_ray.stages.dedup import md5_hash64
+
+    docs = _docs(sf_dir, ["doc_id", "lang"])
+
+    def sample(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return b
+        h = md5_hash64(pc.cast(b.column("doc_id"), pa.string())) % np.uint64(100)
+        rates = np.full(b.num_rows, _STRATA_DEFAULT, dtype=np.uint64)
+        langs = b.column("lang")
+        for lang, rate in _STRATA_RATES.items():
+            mask = pc.fill_null(pc.equal(langs, lang), False).to_numpy(
+                zero_copy_only=False
+            )
+            rates[mask] = rate
+        return b.filter(pa.array(h < rates))
+
+    return docs.map_batches(sample, batch_format="pyarrow").sort("doc_id")
