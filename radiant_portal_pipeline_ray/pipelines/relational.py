@@ -1623,3 +1623,76 @@ def q_pivot_event_values(sf_dir: str):
         ),
         batch_format="pyarrow",
     ).sort("user_id")
+
+
+# ---------------------------------------------------------------------------
+# Decorrelated correlated subquery: fact rows compared against their own
+# group's aggregate (orders strictly above their customer's average order
+# value). Two-pass: partial+final grouped SUM/COUNT per key, then the small
+# per-key aggregate co-partitions back onto the fact via the keyed exchange
+# — integer-exact (price·count > sum avoids the division entirely).
+# ref: the reference's freq roll-up re-joined onto occurrences
+#      (germline_snv_variant_frequency_insert.sql feeding later deltas).
+# ---------------------------------------------------------------------------
+@_register(
+    "q_orders_above_customer_avg",
+    """
+    SELECT o.o_orderkey, o.o_custkey,
+           CAST(ROUND(o.o_totalprice*100) AS BIGINT) AS totalprice_c
+    FROM orders o
+    JOIN (
+      SELECT o_custkey,
+             SUM(CAST(ROUND(o_totalprice*100) AS BIGINT)) AS sum_c,
+             COUNT(*) AS cnt
+      FROM orders GROUP BY o_custkey
+    ) a USING (o_custkey)
+    WHERE CAST(ROUND(o.o_totalprice*100) AS BIGINT) * a.cnt > a.sum_c
+    ORDER BY o_orderkey
+    """,
+)
+def q_orders_above_customer_avg(sf_dir: str, n_buckets: int = 64):
+    orders = read_parquet_clean(
+        _pq(sf_dir, "orders"), columns=["o_orderkey", "o_custkey", "o_totalprice"]
+    )
+
+    def to_int(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "o_orderkey": b.column("o_orderkey"),
+                "o_custkey": b.column("o_custkey"),
+                "totalprice_c": _to_cents(b.column("o_totalprice")),
+            }
+        )
+
+    fact = orders.map_batches(to_int, batch_format="pyarrow")
+
+    def widen(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "o_custkey": b.column("o_custkey"),
+                "sum_c": b.column("totalprice_c"),
+                "one": pa.array(np.ones(b.num_rows, dtype=np.int64)),
+            }
+        )
+
+    agg = partial_final_groupby(
+        fact.map_batches(widen, batch_format="pyarrow"),
+        ["o_custkey"],
+        [("sum_c", "sum", "sum_c"), ("one", "sum", "cnt")],
+    )
+
+    def above_avg(l: pa.Table, r: pa.Table) -> pa.Table:
+        j = l.join(r, keys=["o_custkey"], join_type="inner")
+        keep = pc.greater(
+            pc.multiply_checked(
+                j.column("totalprice_c"), pc.cast(j.column("cnt"), pa.int64())
+            ),
+            pc.cast(j.column("sum_c"), pa.int64()),
+        )
+        return j.filter(keep).select(["o_orderkey", "o_custkey", "totalprice_c"])
+
+    from radiant_portal_pipeline_ray.stages.taskshuffle import exchange_join
+
+    return exchange_join(
+        fact, agg, ["o_custkey"], ["o_custkey"], n_buckets, above_avg
+    ).sort("o_orderkey")

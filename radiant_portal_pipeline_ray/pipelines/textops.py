@@ -958,3 +958,101 @@ def t_stratified_sample(sf_dir: str):
         return b.filter(pa.array(h < rates))
 
     return docs.map_batches(sample, batch_format="pyarrow").sort("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# URL canonicalization — the normalize-before-key step every web CDC/dedup
+# pipeline runs before grouping by url (lowercase scheme+host, strip default
+# port, drop fragment, remove utm_* tracking params, collapse the trailing
+# slash). Raw URLs are derived deterministically from the documents table
+# (messy case / port / fragment / tracking params vary per doc_id) and both
+# engines run the SAME regex chain, so the oracle is value-exact.
+# Pure map_batches over Arrow (RE2 kernels) — no shuffle, no Python rows.
+# ---------------------------------------------------------------------------
+_URL_SPLIT_RE = "^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)(.*)$"
+
+
+@_register(
+    "t_url_canonicalize",
+    f"""
+    WITH raw AS (
+      SELECT doc_id,
+             'HTTPS://' ||
+             (CASE WHEN doc_id % 2 = 0 THEN upper(source) ELSE source END) ||
+             '.Example.org:443/path/' || CAST(doc_id AS VARCHAR) ||
+             (CASE WHEN doc_id % 3 = 0 THEN '/' ELSE '' END) ||
+             '?utm_source=x&id=' || CAST(doc_id AS VARCHAR) || '&utm_campaign=y' ||
+             (CASE WHEN doc_id % 5 = 0 THEN '#frag' ELSE '' END) AS url_raw
+      FROM documents
+    ), split AS (
+      SELECT doc_id,
+             regexp_extract(url_raw, '{_URL_SPLIT_RE}', 1) AS head,
+             regexp_extract(url_raw, '{_URL_SPLIT_RE}', 2) AS tail
+      FROM raw
+    )
+    SELECT doc_id,
+           regexp_replace(lower(head), ':443$', '') ||
+           regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+             tail, '#.*$', '', 'g'), '\\?utm_[^&]*&', '?', 'g'),
+             '&utm_[^&]*', '', 'g'),
+             '/+(\\?|$)', '\\1', 'g') AS url_canonical
+    FROM split
+    ORDER BY doc_id
+    """,
+)
+def t_url_canonicalize(sf_dir: str):
+    import numpy as np
+    import pyarrow.compute as pc
+
+    docs = _docs(sf_dir, ["doc_id", "source"])
+
+    def canonicalize(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "url_canonical": pa.array([], pa.string()),
+                }
+            )
+        ids = b.column("doc_id")
+        idn = ids.to_numpy()
+        ids_s = pc.cast(ids, pa.string())
+        n = b.num_rows
+
+        def const(s):
+            return pa.array([s] * n)
+
+        host_src = pc.if_else(
+            pa.array(idn % 2 == 0), pc.utf8_upper(b.column("source")), b.column("source")
+        )
+        raw = pc.binary_join_element_wise(
+            const("HTTPS://"),
+            host_src,
+            const(".Example.org:443/path/"),
+            ids_s,
+            pc.if_else(pa.array(idn % 3 == 0), const("/"), const("")),
+            const("?utm_source=x&id="),
+            ids_s,
+            const("&utm_campaign=y"),
+            pc.if_else(pa.array(idn % 5 == 0), const("#frag"), const("")),
+            "",
+        )
+        ext = pc.extract_regex(
+            raw, "^(?P<head>[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)(?P<tail>.*)$"
+        )
+        head = pc.replace_substring_regex(
+            pc.utf8_lower(pc.struct_field(ext, "head")), ":443$", ""
+        )
+        tail = pc.struct_field(ext, "tail")
+        tail = pc.replace_substring_regex(tail, "#.*$", "")
+        tail = pc.replace_substring_regex(tail, r"\?utm_[^&]*&", "?")
+        tail = pc.replace_substring_regex(tail, "&utm_[^&]*", "")
+        tail = pc.replace_substring_regex(tail, r"/+(\?|$)", r"\1")
+        return pa.table(
+            {
+                "doc_id": ids,
+                "url_canonical": pc.binary_join_element_wise(head, tail, ""),
+            }
+        )
+
+    return docs.map_batches(canonicalize, batch_format="pyarrow").sort("doc_id")
