@@ -1696,3 +1696,92 @@ def q_orders_above_customer_avg(sf_dir: str, n_buckets: int = 64):
     return exchange_join(
         fact, agg, ["o_custkey"], ["o_custkey"], n_buckets, above_avg
     ).sort("o_orderkey")
+
+
+# ---------------------------------------------------------------------------
+# Ordered-sequence funnel (MATCH_RECOGNIZE shape): for every user with a
+# 'view', the first click strictly AFTER that view, then the first purchase
+# strictly after that click. Users co-locate once through the keyed
+# exchange; each bucket resolves every stage for ALL its users with arrow
+# group_by + index_in probes — no per-user Python, no re-shuffle between
+# stages.
+# ---------------------------------------------------------------------------
+@_register(
+    "q_funnel_users",
+    """
+    WITH v AS (
+      SELECT user_id, min(ts) AS t_view FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ), c AS (
+      SELECT e.user_id, min(e.ts) AS t_click FROM events e
+      JOIN v USING (user_id)
+      WHERE e.event_type = 'click' AND e.ts > v.t_view
+      GROUP BY e.user_id
+    ), p AS (
+      SELECT e.user_id, min(e.ts) AS t_purchase FROM events e
+      JOIN c USING (user_id)
+      WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+      GROUP BY e.user_id
+    )
+    SELECT v.user_id,
+           epoch_us(v.t_view) AS view_us,
+           epoch_us(c.t_click) AS click_us,
+           epoch_us(p.t_purchase) AS purchase_us
+    FROM v LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)
+    ORDER BY user_id
+    """,
+)
+def q_funnel_users(sf_dir: str, n_partitions: int = 64):
+    ev = read_parquet_clean(
+        _pq(sf_dir, "events"), columns=["user_id", "ts", "event_type"]
+    )
+
+    def funnel(group: pa.Table) -> pa.Table:
+        ts = pc.cast(group.column("ts"), pa.int64())
+        g = pa.table(
+            {
+                "user_id": group.column("user_id"),
+                "ts_us": ts,
+                "event_type": group.column("event_type"),
+            }
+        )
+
+        def first_after(event: str, anchor: pa.Table, anchor_col: str) -> pa.Table:
+            """min ts of `event` rows strictly after each user's anchor ts."""
+            rows = g.filter(pc.equal(g.column("event_type"), event))
+            idx = pc.index_in(rows.column("user_id"), anchor.column("user_id"))
+            bound = pc.take(anchor.column(anchor_col), idx)  # null if no anchor
+            keep = pc.greater(rows.column("ts_us"), bound)  # null > x → null
+            rows = rows.filter(pc.fill_null(keep, False))
+            out = rows.group_by(["user_id"]).aggregate([("ts_us", "min")])
+            return out.rename_columns(["user_id", anchor_col + "_next"])
+
+        views = (
+            g.filter(pc.equal(g.column("event_type"), "view"))
+            .group_by(["user_id"])
+            .aggregate([("ts_us", "min")])
+            .rename_columns(["user_id", "view_us"])
+        )
+        clicks = first_after("click", views, "view_us").rename_columns(
+            ["user_id", "click_us"]
+        )
+        purchases = first_after("purchase", clicks, "click_us").rename_columns(
+            ["user_id", "purchase_us"]
+        )
+        out = views.join(clicks, keys=["user_id"], join_type="left outer").join(
+            purchases, keys=["user_id"], join_type="left outer"
+        )
+        return out.select(["user_id", "view_us", "click_us", "purchase_us"]).cast(
+            pa.schema(
+                [
+                    ("user_id", pa.int64()),
+                    ("view_us", pa.int64()),
+                    ("click_us", pa.int64()),
+                    ("purchase_us", pa.int64()),
+                ]
+            )
+        )
+
+    from radiant_portal_pipeline_ray.stages.taskshuffle import exchange_group
+
+    return exchange_group(ev, ["user_id"], n_partitions, funnel).sort("user_id")

@@ -214,3 +214,107 @@ def t_split_assign(sf_dir: str, bands=(90, 95)):
         )
 
     return ds.map_batches(assign, batch_format="pyarrow").sort("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Table checksums per bucket — the anti-entropy / replica-verification op a
+# CDC pipeline runs to prove source and target hold identical rows without
+# moving them: per hash-bucket row count + order-independent wrap-around
+# uint64 sum of per-row md5 fingerprints. Any single-row difference flips
+# the checksum. Per-batch partials are 16 fixed rows, so the exchange moves
+# O(buckets), never O(rows); the sum wraps mod 2^64 identically in numpy
+# (native uint64 add) and the oracle (HUGEINT % 2^64), emitted as two
+# BIGINT halves so both engines agree on type.
+# ---------------------------------------------------------------------------
+@_register(
+    "cdc_bucket_checksums",
+    """
+    SELECT bucket,
+           COUNT(*) AS n_rows,
+           CAST((SUM(h) % 18446744073709551616) % 4294967296 AS BIGINT)
+             AS checksum_lo,
+           CAST((SUM(h) % 18446744073709551616) // 4294967296 AS BIGINT)
+             AS checksum_hi
+    FROM (
+      SELECT user_id % 16 AS bucket,
+             CAST(CAST('0x' || substr(md5(
+               CAST(event_id AS VARCHAR) || '|' ||
+               CAST(user_id AS VARCHAR) || '|' || event_type
+             ), 1, 16) AS UBIGINT) AS HUGEINT) AS h
+      FROM events
+    )
+    GROUP BY bucket
+    ORDER BY bucket
+    """,
+)
+def cdc_bucket_checksums(sf_dir: str, n_buckets: int = 16):
+    import os
+
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from radiant_portal_pipeline_ray.sources.io import read_parquet_clean
+    from radiant_portal_pipeline_ray.stages.dedup import md5_hash64
+    from radiant_portal_pipeline_ray.stages.taskshuffle import exchange_group
+
+    ev = read_parquet_clean(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_id", "user_id", "event_type"],
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table(
+                {
+                    "bucket": pa.array([], pa.int64()),
+                    "n_rows": pa.array([], pa.int64()),
+                    "sum_bits": pa.array([], pa.int64()),
+                }
+            )
+        key = pc.binary_join_element_wise(
+            pc.cast(b.column("event_id"), pa.string()),
+            pc.cast(b.column("user_id"), pa.string()),
+            b.column("event_type"),
+            "|",
+        )
+        h = md5_hash64(key)  # uint64
+        bucket = b.column("user_id").to_numpy() % n_buckets
+        order = np.argsort(bucket, kind="stable")
+        bs, hs = bucket[order], h[order]
+        starts = np.concatenate(
+            ([0], np.flatnonzero(bs[1:] != bs[:-1]) + 1, [len(bs)])
+        )
+        sums = np.add.reduceat(hs, starts[:-1])  # uint64 wrap-add
+        return pa.table(
+            {
+                "bucket": pa.array(bs[starts[:-1]].astype(np.int64)),
+                "n_rows": pa.array(np.diff(starts).astype(np.int64)),
+                "sum_bits": pa.array(sums.view(np.int64)),  # bit-carrier
+            }
+        )
+
+    def final(group: pa.Table) -> pa.Table:
+        bucket = group.column("bucket").to_numpy()
+        n = group.column("n_rows").to_numpy()
+        s = group.column("sum_bits").to_numpy().view(np.uint64)
+        order = np.argsort(bucket, kind="stable")
+        bucket, n, s = bucket[order], n[order], s[order]
+        starts = np.concatenate(
+            ([0], np.flatnonzero(bucket[1:] != bucket[:-1]) + 1, [len(bucket)])
+        )
+        tot = np.add.reduceat(s, starts[:-1])
+        return pa.table(
+            {
+                "bucket": pa.array(bucket[starts[:-1]].astype(np.int64)),
+                "n_rows": pa.array(
+                    np.add.reduceat(n, starts[:-1]).astype(np.int64)
+                ),
+                "checksum_lo": pa.array(
+                    (tot & np.uint64(0xFFFFFFFF)).astype(np.int64)
+                ),
+                "checksum_hi": pa.array((tot >> np.uint64(32)).astype(np.int64)),
+            }
+        )
+
+    partials = ev.map_batches(partial, batch_format="pyarrow")
+    return exchange_group(partials, ["bucket"], 8, final).sort("bucket")
