@@ -1785,3 +1785,114 @@ def q_funnel_users(sf_dir: str, n_partitions: int = 64):
     from radiant_portal_pipeline_ray.stages.taskshuffle import exchange_group
 
     return exchange_group(ev, ["user_id"], n_partitions, funnel).sort("user_id")
+
+
+# ---------------------------------------------------------------------------
+# Exact distributed heavy hitters (frequent items) WITHOUT a full-vocabulary
+# shuffle: two passes over the text.
+#   Pass 1 — per-batch exact counts keep only tokens with
+#     local_count · s > local_n (pigeonhole: any token with global count
+#     > N/s must clear that bar in ≥1 batch, so the union of per-batch
+#     survivors is a guaranteed SUPERSET of the true heavy hitters; each
+#     batch contributes < s candidates).
+#   Pass 2 — the deduped candidate set (≤ s per batch, in practice ~s
+#     total) broadcasts into a second pruned scan for exact global counts;
+#     filter count · s > N. Result is exact, yet no stage ever moves or
+#     holds the full vocabulary — the trade is a second scan, which at
+#     100 TB is cheaper than a 10⁹-key exchange.
+# ---------------------------------------------------------------------------
+@_register(
+    "q_heavy_hitter_tokens",
+    """
+    WITH tok AS (
+      SELECT unnest(string_split(text, ' ')) AS token FROM documents
+    ), tf AS (
+      SELECT token FROM tok WHERE token <> ''
+    )
+    SELECT token, COUNT(*) AS n
+    FROM tf GROUP BY token
+    HAVING COUNT(*) * 200 > (SELECT COUNT(*) FROM tf)
+    ORDER BY n DESC, token
+    """,
+)
+def q_heavy_hitter_tokens(sf_dir: str, s: int = 200, n_partitions: int = 32):
+    docs = read_parquet_clean(_pq(sf_dir, "documents"), columns=["text"])
+
+    def _tokens(b: pa.Table) -> pa.ChunkedArray:
+        toks = pc.list_flatten(pc.split_pattern(b.column("text"), " "))
+        return toks.filter(pc.not_equal(toks, ""))
+
+    def candidates(b: pa.Table) -> pa.Table:
+        toks = _tokens(b)
+        g = (
+            pa.table({"token": toks})
+            .group_by("token")
+            .aggregate([("token", "count")])
+            .rename_columns(["token", "cnt"])
+        )
+        local_n = len(toks)
+        keep = g.filter(
+            pc.greater(pc.multiply(pc.cast(g.column("cnt"), pa.int64()), s), local_n)
+        )
+        # "" row carries this batch's token total (real tokens are never "")
+        return pa.table(
+            {
+                "token": pa.concat_arrays(
+                    [keep.column("token").combine_chunks(), pa.array([""])]
+                ),
+                "cnt": pa.array(
+                    [0] * keep.num_rows + [local_n], pa.int64()
+                ),
+            }
+        )
+
+    def dedup(group: pa.Table) -> pa.Table:
+        g = group.group_by("token").aggregate([("cnt", "sum")])
+        return g.rename_columns(["token", "cnt"])
+
+    from radiant_portal_pipeline_ray.stages.taskshuffle import exchange_group
+
+    cand = exchange_group(
+        docs.map_batches(candidates, batch_format="pyarrow"),
+        ["token"],
+        n_partitions,
+        dedup,
+    )
+    # bounded driver materialization: < s candidates per batch, deduped
+    cand_t = pa.Table.from_pylist(cand.take_all())
+    total_n = pc.sum(
+        cand_t.filter(pc.equal(cand_t.column("token"), "")).column("cnt")
+    ).as_py()
+    cand_set = cand_t.filter(pc.not_equal(cand_t.column("token"), "")).column(
+        "token"
+    ).combine_chunks()
+
+    def exact_counts(b: pa.Table) -> pa.Table:
+        toks = _tokens(b)
+        toks = toks.filter(pc.is_in(toks, value_set=cand_set))
+        g = (
+            pa.table({"token": toks})
+            .group_by("token")
+            .aggregate([("token", "count")])
+            .rename_columns(["token", "n"])
+        )
+        return g.set_column(1, pa.field("n", pa.int64()), pc.cast(g.column("n"), pa.int64()))
+
+    def final_sum(group: pa.Table) -> pa.Table:
+        g = group.group_by("token").aggregate([("n", "sum")])
+        return g.rename_columns(["token", "n"])
+
+    exact = exchange_group(
+        docs.map_batches(exact_counts, batch_format="pyarrow"),
+        ["token"],
+        n_partitions,
+        final_sum,
+    )
+    t = pa.Table.from_pylist(exact.take_all())  # ≤ |candidates| rows
+    if t.num_rows == 0:
+        return pa.table({"token": pa.array([], pa.string()), "n": pa.array([], pa.int64())})
+    t = t.set_column(1, pa.field("n", pa.int64()), pc.cast(t.column("n"), pa.int64()))
+    t = t.filter(pc.greater(pc.multiply(t.column("n"), s), total_n))
+    return t.take(
+        pc.sort_indices(t, sort_keys=[("n", "descending"), ("token", "ascending")])
+    )
