@@ -1896,3 +1896,132 @@ def q_heavy_hitter_tokens(sf_dir: str, s: int = 200, n_partitions: int = 32):
     return t.take(
         pc.sort_indices(t, sort_keys=[("n", "descending"), ("token", "ascending")])
     )
+
+
+# ---------------------------------------------------------------------------
+# Ordered string aggregation: comma-joined, ORDER-BY-sorted member list per
+# group (the "collect members deterministically" serving shape — reference
+# analogue: array_agg(distinct …) in snv_variant consequences, here with
+# explicit intra-group ordering). Keys co-locate once; each bucket folds all
+# its groups with one pandas C-level groupby-join.
+# ---------------------------------------------------------------------------
+@_register(
+    "q_nation_customer_list",
+    """
+    SELECT n_name AS nation_name,
+           COUNT(*) AS n_customers,
+           string_agg(c_name, ',' ORDER BY c_name) AS customer_names
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    WHERE c_acctbal > 9000
+    GROUP BY n_name
+    ORDER BY nation_name
+    """,
+)
+def q_nation_customer_list(sf_dir: str, n_partitions: int = 16):
+    nation = pq.read_table(_pq(sf_dir, "nation"), columns=["n_nationkey", "n_name"])
+    dim = nation.rename_columns(["c_nationkey", "nation_name"])
+    cust = read_parquet_clean(
+        _pq(sf_dir, "customer"), columns=["c_name", "c_nationkey", "c_acctbal"]
+    )
+
+    def prep(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.greater(b.column("c_acctbal"), 9000.0))
+        return b.select(["c_name", "c_nationkey"])
+
+    joined = cust.map_batches(prep, batch_format="pyarrow").map_batches(
+        make_broadcast_join(dim, ["c_nationkey"], ["c_nationkey"], how="inner"),
+        batch_format="pyarrow",
+    )
+
+    def fold(group: pa.Table) -> pa.Table:
+        df = group.select(["nation_name", "c_name"]).to_pandas()
+        df = df.sort_values(["nation_name", "c_name"])
+        g = df.groupby("nation_name", sort=True)["c_name"]
+        out = g.agg([("n_customers", "size"), ("customer_names", ",".join)])
+        out = out.reset_index()
+        return pa.table(
+            {
+                "nation_name": pa.array(out["nation_name"], pa.string()),
+                "n_customers": pa.array(out["n_customers"], pa.int64()),
+                "customer_names": pa.array(out["customer_names"], pa.string()),
+            }
+        )
+
+    from radiant_portal_pipeline_ray.stages.taskshuffle import exchange_group
+
+    return exchange_group(joined, ["nation_name"], n_partitions, fold).sort(
+        "nation_name"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Interpolated percentiles (percentile_cont semantics, completing the
+# quantile family next to q_quality_quantiles' percentile_disc): position
+# (n-1)·p always lands on a quarter-integer for p ∈ {.25,.5,.75}, so 4× the
+# interpolated value is integer-exact — both engines emit
+# round(percentile_cont(p)·4) and agree bit-for-bit.
+# ---------------------------------------------------------------------------
+@_register(
+    "q_value_percentiles_cont",
+    """
+    SELECT event_type,
+           CAST(ROUND(percentile_cont(0.25) WITHIN GROUP (
+             ORDER BY CAST(ROUND(value*100) AS BIGINT)) * 4) AS BIGINT) AS p25_q,
+           CAST(ROUND(percentile_cont(0.5) WITHIN GROUP (
+             ORDER BY CAST(ROUND(value*100) AS BIGINT)) * 4) AS BIGINT) AS p50_q,
+           CAST(ROUND(percentile_cont(0.75) WITHIN GROUP (
+             ORDER BY CAST(ROUND(value*100) AS BIGINT)) * 4) AS BIGINT) AS p75_q
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def q_value_percentiles_cont(sf_dir: str, n_partitions: int = 16):
+    ev = read_parquet_clean(_pq(sf_dir, "events"), columns=["event_type", "value"])
+
+    def to_int(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_type": b.column("event_type"),
+                "value_c": _to_cents(b.column("value")),
+            }
+        )
+
+    def pct(group: pa.Table) -> pa.Table:
+        et = group.column("event_type").to_numpy(zero_copy_only=False)
+        v = group.column("value_c").to_numpy(zero_copy_only=False)
+        order = np.lexsort((v, et))
+        et, v = et[order], v[order]
+        starts = np.concatenate(
+            ([0], np.flatnonzero(et[1:] != et[:-1]) + 1, [len(et)])
+        )
+        names, cols = [], {p: [] for p in (25, 50, 75)}
+        for i in range(len(starts) - 1):  # O(groups), not O(rows)
+            s, e = int(starts[i]), int(starts[i + 1])
+            vals = v[s:e]
+            n = e - s
+            names.append(et[s])
+            for p in (25, 50, 75):
+                lo, rem = divmod((n - 1) * p, 100)
+                frac4 = rem // 25  # 0..3 quarter-steps
+                q4 = 4 * int(vals[lo]) + (
+                    (int(vals[lo + 1]) - int(vals[lo])) * frac4 if frac4 else 0
+                )
+                cols[p].append(q4)
+        return pa.table(
+            {
+                "event_type": pa.array(names, pa.string()),
+                "p25_q": pa.array(cols[25], pa.int64()),
+                "p50_q": pa.array(cols[50], pa.int64()),
+                "p75_q": pa.array(cols[75], pa.int64()),
+            }
+        )
+
+    from radiant_portal_pipeline_ray.stages.taskshuffle import exchange_group
+
+    return exchange_group(
+        ev.map_batches(to_int, batch_format="pyarrow"),
+        ["event_type"],
+        n_partitions,
+        pct,
+    ).sort("event_type")
