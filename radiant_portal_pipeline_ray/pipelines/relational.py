@@ -2025,3 +2025,69 @@ def q_value_percentiles_cont(sf_dir: str, n_partitions: int = 16):
         n_partitions,
         pct,
     ).sort("event_type")
+
+
+# ---------------------------------------------------------------------------
+# Full outer join (reconciliation shape: entities present on either side,
+# nulls where the other side is absent) between two independently
+# pre-aggregated inputs — both sides shrink to one row per key BEFORE the
+# exchange, then aligned buckets full-outer-join in Acero.
+# ---------------------------------------------------------------------------
+@_register(
+    "q_full_outer_activity",
+    """
+    WITH u AS (
+      SELECT user_id AS id, COUNT(*) AS n_events FROM events GROUP BY user_id
+    ), o AS (
+      SELECT o_custkey AS id, COUNT(*) AS n_orders FROM orders
+      WHERE o_custkey BETWEEN 100 AND 300 GROUP BY o_custkey
+    )
+    SELECT COALESCE(u.id, o.id) AS id, u.n_events, o.n_orders
+    FROM u FULL OUTER JOIN o ON u.id = o.id
+    ORDER BY id
+    """,
+)
+def q_full_outer_activity(sf_dir: str):
+    ev = read_parquet_clean(_pq(sf_dir, "events"), columns=["user_id"])
+    orders = read_parquet_clean(_pq(sf_dir, "orders"), columns=["o_custkey"])
+
+    def count_side(key: str, out: str):
+        def fn(b: pa.Table) -> pa.Table:
+            g = b.group_by([key]).aggregate([(key, "count")])
+            g = g.rename_columns(["id", out])
+            return g.set_column(
+                1, pa.field(out, pa.int64()), pc.cast(g.column(out), pa.int64())
+            )
+
+        return fn
+
+    u = partial_final_groupby(
+        ev.map_batches(count_side("user_id", "n_events"), batch_format="pyarrow"),
+        ["id"],
+        [("n_events", "sum", "n_events")],
+    ).map_batches(
+        lambda b: pa.table(
+            {"id": b.column("id"), "n_events": pc.cast(b.column("n_events"), pa.int64())}
+        ),
+        batch_format="pyarrow",
+    )
+    def range_filter(b: pa.Table) -> pa.Table:
+        k = b.column("o_custkey")
+        return b.filter(
+            pc.and_(pc.greater_equal(k, 100), pc.less_equal(k, 300))
+        )
+
+    o = partial_final_groupby(
+        orders.map_batches(range_filter, batch_format="pyarrow").map_batches(
+            count_side("o_custkey", "n_orders"), batch_format="pyarrow"
+        ),
+        ["id"],
+        [("n_orders", "sum", "n_orders")],
+    ).map_batches(
+        lambda b: pa.table(
+            {"id": b.column("id"), "n_orders": pc.cast(b.column("n_orders"), pa.int64())}
+        ),
+        batch_format="pyarrow",
+    )
+    joined = hash_partitioned_join(u, o, "id", how="full outer")
+    return joined.sort("id")
