@@ -203,6 +203,9 @@ def run_bench() -> dict:
         "dd_exact": dedup.QUERIES["dd_exact"][0],
         "t_quality_scores": textops.QUERIES["t_quality_scores"][0],
         "sim_topk_cosine": similarity.QUERIES["sim_topk_cosine"][0],
+        # round-4 additions: window-function and two-pass heavy-hitter shapes
+        "q_running_total": relational.QUERIES["q_running_total"][0],
+        "q_heavy_hitter_tokens": relational.QUERIES["q_heavy_hitter_tokens"][0],
     }
     # best-of-N per query: co-tenant noise bursts on this VM inflate a
     # single run by 2-5x (BASELINE.md variance bracket); min is the
