@@ -2091,3 +2091,73 @@ def q_full_outer_activity(sf_dir: str):
     )
     joined = hash_partitioned_join(u, o, "id", how="full outer")
     return joined.sort("id")
+
+
+# ---------------------------------------------------------------------------
+# OHLC downsampling bars (telemetry/finance shape): per (user, hour) the
+# FIRST and LAST value by event time plus min/max — the order-sensitive
+# aggregate pair (first/last) that plain groupby cannot express. One keyed
+# exchange; each bucket computes every bar with one lexsort + reduceat.
+# ---------------------------------------------------------------------------
+@_register(
+    "q_hourly_ohlc",
+    """
+    SELECT user_id,
+           CAST(FLOOR(epoch(ts)/3600) AS BIGINT) AS hour_bucket,
+           first(CAST(ROUND(value*100) AS BIGINT) ORDER BY ts, event_id) AS open_c,
+           max(CAST(ROUND(value*100) AS BIGINT)) AS high_c,
+           min(CAST(ROUND(value*100) AS BIGINT)) AS low_c,
+           last(CAST(ROUND(value*100) AS BIGINT) ORDER BY ts, event_id) AS close_c,
+           COUNT(*) AS n_events
+    FROM events
+    GROUP BY user_id, hour_bucket
+    ORDER BY user_id, hour_bucket
+    """,
+)
+def q_hourly_ohlc(sf_dir: str, n_partitions: int = 64):
+    ev = read_parquet_clean(
+        _pq(sf_dir, "events"), columns=["user_id", "ts", "event_id", "value"]
+    )
+
+    def bars(group: pa.Table) -> pa.Table:
+        u = group.column("user_id").to_numpy(zero_copy_only=False)
+        ts = pc.cast(group.column("ts"), pa.int64()).to_numpy(zero_copy_only=False)
+        eid = group.column("event_id").to_numpy(zero_copy_only=False)
+        cents = _to_cents(group.column("value")).to_numpy(zero_copy_only=False)
+        hour = ts // 3_600_000_000
+        order = np.lexsort((eid, ts, hour, u))
+        u, hour, cents = u[order], hour[order], cents[order]
+        n = len(u)
+        if n == 0:
+            empty = pa.array([], pa.int64())
+            return pa.table(
+                {
+                    "user_id": empty, "hour_bucket": empty, "open_c": empty,
+                    "high_c": empty, "low_c": empty, "close_c": empty,
+                    "n_events": empty,
+                }
+            )
+        new_g = np.empty(n, dtype=bool)
+        new_g[0] = True
+        new_g[1:] = (u[1:] != u[:-1]) | (hour[1:] != hour[:-1])
+        starts = np.flatnonzero(new_g)
+        ends = np.append(starts[1:], n) - 1
+        return pa.table(
+            {
+                "user_id": pa.array(u[starts], pa.int64()),
+                "hour_bucket": pa.array(hour[starts], pa.int64()),
+                "open_c": pa.array(cents[starts], pa.int64()),
+                "high_c": pa.array(np.maximum.reduceat(cents, starts), pa.int64()),
+                "low_c": pa.array(np.minimum.reduceat(cents, starts), pa.int64()),
+                "close_c": pa.array(cents[ends], pa.int64()),
+                "n_events": pa.array(
+                    np.append(starts[1:], n) - starts, pa.int64()
+                ),
+            }
+        )
+
+    from radiant_portal_pipeline_ray.stages.taskshuffle import exchange_group
+
+    return exchange_group(ev, ["user_id"], n_partitions, bars).sort(
+        ["user_id", "hour_bucket"]
+    )

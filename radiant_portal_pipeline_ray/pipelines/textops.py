@@ -1056,3 +1056,42 @@ def t_url_canonicalize(sf_dir: str):
         )
 
     return docs.map_batches(canonicalize, batch_format="pyarrow").sort("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Weighted deterministic sampling: inclusion probability proportional to a
+# per-row weight (here n_chars, capped at 1) — longer documents are more
+# likely kept, membership is a pure function of doc_id so the sample is
+# stable across runs/cluster sizes/resumes. No shuffle.
+# ---------------------------------------------------------------------------
+@_register(
+    "t_weighted_sample",
+    """
+    SELECT doc_id, lang, n_chars
+    FROM (
+      SELECT doc_id, lang, n_chars,
+             CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 16)
+                  AS UBIGINT) AS h
+      FROM documents
+    )
+    WHERE h % 2000 < n_chars // 2
+    ORDER BY doc_id
+    """,
+)
+def t_weighted_sample(sf_dir: str):
+    import numpy as np
+    import pyarrow.compute as pc
+
+    from radiant_portal_pipeline_ray.stages.dedup import md5_hash64
+
+    docs = _docs(sf_dir, ["doc_id", "lang", "n_chars"])
+
+    def sample(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return b
+        h = md5_hash64(pc.cast(b.column("doc_id"), pa.string())) % np.uint64(2000)
+        # integer weight: n_chars // 2 of 2000 slots (SQL integer division)
+        w = (b.column("n_chars").to_numpy() // 2).astype(np.uint64)
+        return b.filter(pa.array(h < w))
+
+    return docs.map_batches(sample, batch_format="pyarrow").sort("doc_id")
