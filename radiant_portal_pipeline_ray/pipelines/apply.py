@@ -1587,6 +1587,20 @@ class CdcEngine:
 
         return read_changes(self, v_from, v_to, n_buckets)
 
+    def snapshot_checksums(self, version: int | None = None) -> pa.Table:
+        """Per-partition anti-entropy checksums of the committed live state
+        (order-independent wrap-around uint64 sum of md5(url|lsn|text) plus
+        row count). Two lakes hold identical live rows iff this table
+        matches — the cheap replay-equality / replica-verification
+        primitive: the result is one row per partition and no data row
+        ever moves (per-batch partials are O(partitions))."""
+        from radiant_portal_pipeline_ray.stages.qa import partition_checksums
+
+        ds = self.read_snapshot(
+            columns=["part", "url", "lsn", "text"], version=version
+        )
+        return partition_checksums(ds, "part", ["url", "lsn", "text"])
+
     def snapshot_table(
         self,
         columns: list[str] | None = None,

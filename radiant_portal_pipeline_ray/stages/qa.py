@@ -247,3 +247,91 @@ def snapshot_checks() -> list[QACheck]:
         no_nulls("part"),
         in_range("lsn", 0, 2**62),
     ]
+
+
+def partition_checksums(ds: Dataset, group_col: str, key_cols: list[str]) -> "pa.Table":
+    """Anti-entropy checksums per ``group_col``: row count + an
+    order-independent wrap-around uint64 sum of per-row md5 fingerprints
+    over ``key_cols`` (joined with '|'). Two replicas (or a lake and its
+    replayed twin) hold identical rows in a group iff count AND checksum
+    agree — without moving a single data row: per-batch partials are
+    O(groups), the exchange moves only those, and the final table is one
+    row per group (checksum split into two int64 halves).
+    Reference analogue: the post-import data-integrity dbt checks
+    (`radiant/dags/import_radiant.py:191-197`), strengthened from counts
+    to content hashes."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    from radiant_portal_pipeline_ray.stages.dedup import md5_hash64
+    from radiant_portal_pipeline_ray.stages.taskshuffle import exchange_group
+
+    def partial(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table(
+                {
+                    group_col: pa.array([], pa.int64()),
+                    "n_rows": pa.array([], pa.int64()),
+                    "sum_bits": pa.array([], pa.int64()),
+                }
+            )
+        parts = [pc.cast(b.column(c), pa.string()) for c in key_cols]
+        key = parts[0] if len(parts) == 1 else pc.binary_join_element_wise(
+            *parts, "|"
+        )
+        h = md5_hash64(pc.fill_null(key, ""))
+        grp = pc.cast(b.column(group_col), pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        order = np.argsort(grp, kind="stable")
+        gs, hs = grp[order], h[order]
+        starts = np.concatenate(
+            ([0], np.flatnonzero(gs[1:] != gs[:-1]) + 1, [len(gs)])
+        )
+        return pa.table(
+            {
+                group_col: pa.array(gs[starts[:-1]].astype(np.int64)),
+                "n_rows": pa.array(np.diff(starts).astype(np.int64)),
+                "sum_bits": pa.array(
+                    np.add.reduceat(hs, starts[:-1]).view(np.int64)
+                ),
+            }
+        )
+
+    def final(group: pa.Table) -> pa.Table:
+        g = group.column(group_col).to_numpy()
+        n = group.column("n_rows").to_numpy()
+        s = group.column("sum_bits").to_numpy().view(np.uint64)
+        order = np.argsort(g, kind="stable")
+        g, n, s = g[order], n[order], s[order]
+        starts = np.concatenate(
+            ([0], np.flatnonzero(g[1:] != g[:-1]) + 1, [len(g)])
+        )
+        tot = np.add.reduceat(s, starts[:-1])
+        return pa.table(
+            {
+                group_col: pa.array(g[starts[:-1]].astype(np.int64)),
+                "n_rows": pa.array(
+                    np.add.reduceat(n, starts[:-1]).astype(np.int64)
+                ),
+                "checksum_lo": pa.array(
+                    (tot & np.uint64(0xFFFFFFFF)).astype(np.int64)
+                ),
+                "checksum_hi": pa.array((tot >> np.uint64(32)).astype(np.int64)),
+            }
+        )
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    out = exchange_group(partials, [group_col], 8, final)
+    t = pa.Table.from_pylist(out.take_all())  # one row per group
+    if t.num_rows == 0:
+        return pa.table(
+            {
+                group_col: pa.array([], pa.int64()),
+                "n_rows": pa.array([], pa.int64()),
+                "checksum_lo": pa.array([], pa.int64()),
+                "checksum_hi": pa.array([], pa.int64()),
+            }
+        )
+    t = pa.table({c: pc.cast(t.column(c), pa.int64()) for c in t.column_names})
+    return t.take(pc.sort_indices(t, sort_keys=[(group_col, "ascending")]))

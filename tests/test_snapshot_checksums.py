@@ -1,0 +1,72 @@
+"""Lake-level anti-entropy: snapshot_checksums() must be identical for two
+lakes that replayed the SAME changelog in DIFFERENT batch groupings
+(replay equality without comparing rows), and an extra update must change
+exactly the affected partitions' checksums."""
+
+import pyarrow.parquet as pq
+
+from radiant_portal_pipeline_ray import EngineConfig
+from radiant_portal_pipeline_ray.pipelines.apply import CdcEngine
+from radiant_portal_pipeline_ray.sources.generator import (
+    ChangelogSpec,
+    generate_changelog,
+)
+
+
+def _df(t):
+    return t.to_pandas().set_index("part").sort_index()
+
+
+def test_replay_equality_and_targeted_diff(tmp_path, ray_session):
+    cl = str(tmp_path / "cl")
+    paths = generate_changelog(
+        cl, ChangelogSpec(n_urls=800, n_events=4000, n_batches=4, seed=11)
+    )
+
+    a = CdcEngine(str(tmp_path / "lake_a"), EngineConfig(n_parts=8))
+    a.apply(paths[:1])
+    a.apply(paths[1:3])
+    a.apply(paths[3:])
+
+    b = CdcEngine(str(tmp_path / "lake_b"), EngineConfig(n_parts=8))
+    b.apply(paths)  # one shot — different rounds, same final state
+
+    ca, cb = _df(a.snapshot_checksums()), _df(b.snapshot_checksums())
+    assert ca.equals(cb)
+
+    # one more update through lake_b only → the diff is confined to the
+    # updated url's partition(s)
+    import pyarrow as pa
+
+    import pyarrow.compute as pc
+
+    last = pq.read_table(paths[-1])
+    live = last.filter(pc.not_equal(last.column("op"), "D"))
+    upd = live.slice(0, 1)
+    max_lsn = max(
+        max(pq.read_table(p, columns=["lsn"]).column("lsn").to_pylist())
+        for p in paths
+    )
+    upd = upd.set_column(
+        upd.schema.get_field_index("lsn"),
+        pa.field("lsn", pa.int64()),
+        pa.array([max_lsn + 1], pa.int64()),
+    )
+    upd = upd.set_column(
+        upd.schema.get_field_index("op"),
+        pa.field("op", pa.string()),
+        pa.array(["U"], pa.string()),
+    )
+    extra = tmp_path / "cl_extra.parquet"
+    pq.write_table(upd, extra)
+    b.apply([str(extra)])
+
+    cb2 = _df(b.snapshot_checksums())
+    changed = (ca["checksum_lo"] != cb2["checksum_lo"]) | (
+        ca["checksum_hi"] != cb2["checksum_hi"]
+    )
+    assert 1 <= changed.sum() <= 2  # the url's partition (± salt slot)
+
+    # time travel: the pre-update version's checksums are still the old ones
+    v_before = b.lake.current_manifest().version - 1
+    assert _df(b.snapshot_checksums(version=v_before)).equals(cb)
