@@ -1601,6 +1601,62 @@ class CdcEngine:
         )
         return partition_checksums(ds, "part", ["url", "lsn", "text"])
 
+    def snapshot_checksums_incremental(
+        self, prior_version: int, prior: pa.Table, version: int | None = None
+    ) -> pa.Table:
+        """``snapshot_checksums(version)`` computed O(changed): a partition
+        whose manifest file list is IDENTICAL at both versions cannot differ
+        (commits rewrite a partition's files whenever any of its rows
+        change — the same invariant the change feed prunes on,
+        ``pipelines/changefeed.py``), so its row from ``prior`` is reused
+        verbatim and its data is never read. Only changed/new partitions
+        re-scan. Equality with the full recompute is pinned in
+        ``tests/test_snapshot_checksums.py``."""
+        import ray.data as rd
+
+        from radiant_portal_pipeline_ray.stages.qa import partition_checksums
+
+        man_from = self.lake.read_manifest(prior_version)
+        man_to = (
+            self.lake.read_manifest(version)
+            if version is not None
+            else self.lake.current_manifest()
+        )
+        from_files = {
+            p: list(st.files) for p, st in man_from.partitions.items()
+        }
+        changed, kept = [], []
+        for p, st in man_to.partitions.items():
+            if from_files.get(p) == list(st.files):
+                kept.append(p)
+            else:
+                changed.append(p)
+        prior_kept = prior.filter(
+            pc.is_in(prior.column("part"), value_set=pa.array(kept, pa.int64()))
+        )
+        files = [
+            self.lake.abspath(f)
+            for p in changed
+            for f in man_to.partitions[p].files
+        ]
+        if not files:
+            fresh = prior_kept.slice(0, 0)
+        else:
+            ds = rd.read_parquet(
+                files,
+                columns=["part", "url", "lsn", "text"],
+                filter=~pc.field("deleted"),
+                filesystem=self.lake.pyarrow_fs(),
+            )
+            fresh = partition_checksums(ds, "part", ["url", "lsn", "text"])
+            # a changed partition can become empty (all rows tombstoned):
+            # it then has files but zero live rows and no checksum row —
+            # matching the full recompute, which also emits no row for it
+        out = pa.concat_tables([prior_kept, fresh])
+        return out.take(
+            pc.sort_indices(out, sort_keys=[("part", "ascending")])
+        )
+
     def snapshot_table(
         self,
         columns: list[str] | None = None,

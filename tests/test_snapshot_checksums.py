@@ -70,3 +70,72 @@ def test_replay_equality_and_targeted_diff(tmp_path, ray_session):
     # time travel: the pre-update version's checksums are still the old ones
     v_before = b.lake.current_manifest().version - 1
     assert _df(b.snapshot_checksums(version=v_before)).equals(cb)
+
+
+def test_incremental_checksums_match_full(tmp_path, ray_session):
+    cl = str(tmp_path / "cl")
+    paths = generate_changelog(
+        cl, ChangelogSpec(n_urls=600, n_events=3000, n_batches=3, seed=23)
+    )
+    eng = CdcEngine(str(tmp_path / "lake"), EngineConfig(n_parts=8))
+    eng.apply(paths[:1])
+    v1 = eng.lake.current_manifest().version
+    c1 = eng.snapshot_checksums()
+    eng.apply(paths[1:])
+    v2 = eng.lake.current_manifest().version
+    assert v2 > v1
+    inc = eng.snapshot_checksums_incremental(v1, c1)
+    full = eng.snapshot_checksums()
+    assert inc.to_pandas().equals(full.to_pandas())
+
+
+def test_incremental_reuses_unchanged_partitions(tmp_path, ray_session):
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    cl = str(tmp_path / "cl")
+    paths = generate_changelog(
+        cl, ChangelogSpec(n_urls=600, n_events=3000, n_batches=3, seed=29)
+    )
+    eng = CdcEngine(str(tmp_path / "lake"), EngineConfig(n_parts=8))
+    eng.apply(paths)
+    v1 = eng.lake.current_manifest().version
+    c1 = eng.snapshot_checksums()
+
+    # a single-row update touches one partition
+    last = pq.read_table(paths[-1])
+    live = last.filter(pc.not_equal(last.column("op"), "D")).slice(0, 1)
+    max_lsn = max(
+        max(pq.read_table(p, columns=["lsn"]).column("lsn").to_pylist())
+        for p in paths
+    )
+    upd = live.set_column(
+        live.schema.get_field_index("lsn"),
+        pa.field("lsn", pa.int64()),
+        pa.array([max_lsn + 1], pa.int64()),
+    )
+    upd = upd.set_column(
+        upd.schema.get_field_index("op"),
+        pa.field("op", pa.string()),
+        pa.array(["U"], pa.string()),
+    )
+    extra = tmp_path / "extra.parquet"
+    pq.write_table(upd, extra)
+    eng.apply([str(extra)])
+
+    # parity with the full recompute
+    inc = eng.snapshot_checksums_incremental(v1, c1)
+    full = eng.snapshot_checksums()
+    assert inc.to_pandas().equals(full.to_pandas())
+
+    # doctor the prior with sentinels: they must survive into the result
+    # for every UNCHANGED partition — proof those partitions never rescan
+    doctored = c1.set_column(
+        c1.schema.get_field_index("checksum_lo"),
+        pa.field("checksum_lo", pa.int64()),
+        pa.array([-1] * c1.num_rows, pa.int64()),
+    )
+    inc2 = eng.snapshot_checksums_incremental(v1, doctored).to_pandas()
+    n_sentinel = (inc2["checksum_lo"] == -1).sum()
+    assert n_sentinel >= len(inc2) - 2  # all but the touched partition(s)
+    assert n_sentinel < len(inc2)  # and the touched one WAS recomputed
