@@ -2161,3 +2161,110 @@ def q_hourly_ohlc(sf_dir: str, n_partitions: int = 64):
     return exchange_group(ev, ["user_id"], n_partitions, bars).sort(
         ["user_id", "hour_bucket"]
     )
+
+
+# ---------------------------------------------------------------------------
+# Grouped top-k over an exploded fact (top tokens PER LANGUAGE): counts must
+# be globally exact BEFORE any per-group prune (a per-batch prune à la
+# topk_per_key would undercount), so this is a 2-hop shape:
+#   hop 1 — per-batch partial (lang, token) counts → exchange on (lang,
+#     token) → exact pair counts, then each bucket pre-prunes to its own
+#     top-k per lang (safe: its pairs' counts are already global);
+#   hop 2 — exchange the ≤ k·langs·buckets surviving rows on (lang) →
+#     final top-k per lang. The vocabulary×langs pair space never
+#     co-locates by lang, and the driver never sees it.
+# ---------------------------------------------------------------------------
+@_register(
+    "q_top_tokens_per_lang",
+    """
+    SELECT lang, token, n FROM (
+      SELECT lang, token, COUNT(*) AS n FROM (
+        SELECT lang, unnest(string_split(text, ' ')) AS token FROM documents
+      ) WHERE token <> ''
+      GROUP BY lang, token
+    )
+    QUALIFY row_number() OVER (
+      PARTITION BY lang ORDER BY n DESC, token) <= 5
+    ORDER BY lang, n DESC, token
+    """,
+)
+def q_top_tokens_per_lang(sf_dir: str, k: int = 5, n_partitions: int = 64):
+    docs = read_parquet_clean(_pq(sf_dir, "documents"), columns=["lang", "text"])
+
+    def explode_count(b: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(b.column("text"), " ")
+        lens = pc.list_value_length(toks).fill_null(0)
+        # repeat each row's lang once per exploded token (vectorized)
+        lang = pa.array(
+            np.repeat(
+                b.column("lang").to_numpy(zero_copy_only=False), lens.to_numpy()
+            ),
+            pa.string(),
+        )
+        flat = pc.list_flatten(toks)
+        t = pa.table({"lang": lang, "token": flat}).filter(
+            pc.not_equal(flat, "")
+        )
+        g = t.group_by(["lang", "token"]).aggregate([("token", "count")])
+        return g.rename_columns(["lang", "token", "n"])
+
+    def exact_then_prune(group: pa.Table) -> pa.Table:
+        g = (
+            group.group_by(["lang", "token"])
+            .aggregate([("n", "sum")])
+            .rename_columns(["lang", "token", "n"])
+        )
+        g = g.set_column(2, pa.field("n", pa.int64()), pc.cast(g.column("n"), pa.int64()))
+        # bucket-local top-k per lang over GLOBAL counts (all of a pair's
+        # partials landed here, so n is exact; a lang's true top-k is a
+        # subset of the union of per-bucket top-ks)
+        neg = pc.multiply(g.column("n"), pa.scalar(-1, pa.int64()))
+        g2 = g.append_column("neg_n", neg)
+        from radiant_portal_pipeline_ray.stages.aggregates import (
+            topk_per_key_table,
+        )
+
+        pruned = topk_per_key_table(
+            g2, ["lang"], [("neg_n", "ascending"), ("token", "ascending")], k=k
+        )
+        return pruned.select(["lang", "token", "n"])
+
+    def final_topk(group: pa.Table) -> pa.Table:
+        from radiant_portal_pipeline_ray.stages.aggregates import (
+            topk_per_key_table,
+        )
+
+        neg = pc.multiply(group.column("n"), pa.scalar(-1, pa.int64()))
+        g2 = group.append_column("neg_n", neg)
+        pruned = topk_per_key_table(
+            g2, ["lang"], [("neg_n", "ascending"), ("token", "ascending")], k=k
+        )
+        return pruned.select(["lang", "token", "n"])
+
+    from radiant_portal_pipeline_ray.stages.taskshuffle import exchange_group
+
+    pair_counts = exchange_group(
+        docs.map_batches(explode_count, batch_format="pyarrow"),
+        ["lang", "token"],
+        n_partitions,
+        exact_then_prune,
+    )
+    out = exchange_group(pair_counts, ["lang"], 16, final_topk)
+    return _sorted_topk_output(out)
+
+
+def _sorted_topk_output(out):
+    def order(b: pa.Table) -> pa.Table:
+        return b.take(
+            pc.sort_indices(
+                b,
+                sort_keys=[
+                    ("lang", "ascending"),
+                    ("n", "descending"),
+                    ("token", "ascending"),
+                ],
+            )
+        )
+
+    # ≤ k rows per lang per bucket — tiny; one block, one deterministic sort
+    return out.repartition(1).map_batches(order, batch_format="pyarrow", batch_size=None)
