@@ -1589,8 +1589,8 @@ class CdcEngine:
 
     def snapshot_checksums(self, version: int | None = None) -> pa.Table:
         """Per-partition anti-entropy checksums of the committed live state
-        (order-independent wrap-around uint64 sum of md5(url|lsn|text) plus
-        row count). Two lakes hold identical live rows iff this table
+        (order-independent wrap-around uint64 sum of a vectorized 64-bit
+        content hash over url|lsn|text, plus row count). Two lakes hold identical live rows iff this table
         matches — the cheap replay-equality / replica-verification
         primitive: the result is one row per partition and no data row
         ever moves (per-batch partials are O(partitions))."""

@@ -249,14 +249,22 @@ def snapshot_checks() -> list[QACheck]:
     ]
 
 
-def partition_checksums(ds: Dataset, group_col: str, key_cols: list[str]) -> "pa.Table":
+def partition_checksums(
+    ds: Dataset, group_col: str, key_cols: list[str], hash_fn: str = "xx64"
+) -> "pa.Table":
     """Anti-entropy checksums per ``group_col``: row count + an
-    order-independent wrap-around uint64 sum of per-row md5 fingerprints
-    over ``key_cols`` (joined with '|'). Two replicas (or a lake and its
+    order-independent wrap-around uint64 sum of per-row fingerprints over
+    ``key_cols`` (joined with '|'). Two replicas (or a lake and its
     replayed twin) hold identical rows in a group iff count AND checksum
     agree — without moving a single data row: per-batch partials are
     O(groups), the exchange moves only those, and the final table is one
     row per group (checksum split into two int64 halves).
+
+    ``hash_fn``: ``"xx64"`` (default) is polars' vectorized 64-bit hash —
+    no per-row Python, the engine-internal choice; both sides of a replica
+    comparison must run the same build. ``"md5"`` is the SQL-reproducible
+    fingerprint (``CAST('0x'||substr(md5(k),1,16) AS UBIGINT)``) for
+    oracle-checked paths; it pays one hashlib call per unique key.
     Reference analogue: the post-import data-integrity dbt checks
     (`radiant/dags/import_radiant.py:191-197`), strengthened from counts
     to content hashes."""
@@ -265,6 +273,15 @@ def partition_checksums(ds: Dataset, group_col: str, key_cols: list[str]) -> "pa
 
     from radiant_portal_pipeline_ray.stages.dedup import md5_hash64
     from radiant_portal_pipeline_ray.stages.taskshuffle import exchange_group
+
+    def _fingerprint(key_arr):
+        if hash_fn == "md5":
+            return md5_hash64(key_arr)
+        import polars as pl
+
+        if isinstance(key_arr, pa.ChunkedArray):
+            key_arr = key_arr.combine_chunks()
+        return pl.from_arrow(key_arr).hash(seed=0xC0FFEE).to_numpy()
 
     def partial(b: pa.Table) -> pa.Table:
         if b.num_rows == 0:
@@ -279,7 +296,7 @@ def partition_checksums(ds: Dataset, group_col: str, key_cols: list[str]) -> "pa
         key = parts[0] if len(parts) == 1 else pc.binary_join_element_wise(
             *parts, "|"
         )
-        h = md5_hash64(pc.fill_null(key, ""))
+        h = _fingerprint(pc.fill_null(key, ""))
         grp = pc.cast(b.column(group_col), pa.int64()).to_numpy(
             zero_copy_only=False
         )
