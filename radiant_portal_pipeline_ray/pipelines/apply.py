@@ -1587,6 +1587,35 @@ class CdcEngine:
 
         return read_changes(self, v_from, v_to, n_buckets)
 
+    def rollback(self, to_version: int) -> dict:
+        """Publish a NEW manifest whose state is a verbatim copy of retained
+        version ``to_version`` (Iceberg rollback analogue): partitions,
+        watermarks, salt map, consumed-inputs ledger all revert, so change
+        events the rolled-back versions had consumed re-apply on the next
+        tail round — exactly the recover-from-bad-apply semantics. Data
+        files are immutable and shared between versions, so rollback moves
+        no data; it is one manifest commit. The bad versions stay readable
+        for forensics until GC (or a tag) decides otherwise."""
+        import json as _json
+
+        current = self.lake.current_manifest()
+        if current is None:
+            raise FileNotFoundError("empty lake: nothing to roll back")
+        if to_version == current.version:
+            return {"version": current.version, "noop": True}
+        old = self.lake.read_manifest(to_version)  # raises if pruned
+        man = Manifest.from_json(_json.loads(_json.dumps(old.to_json())))
+        man.version = current.version + 1
+        man.parent_version = current.version
+        man.txn_id = self.lake.new_txn_id()
+        man.metrics = {"rollback_of": to_version}
+        committed = self.lake.commit(man)
+        return {
+            "version": committed.version,
+            "rolled_back_to": to_version,
+            "noop": False,
+        }
+
     def snapshot_checksums(self, version: int | None = None) -> pa.Table:
         """Per-partition anti-entropy checksums of the committed live state
         (order-independent wrap-around uint64 sum of a vectorized 64-bit

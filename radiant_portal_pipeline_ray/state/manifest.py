@@ -534,6 +534,56 @@ class Lake:
             threading.Thread(target=_cleanup, daemon=True).start()
         return manifest
 
+    # -- tags (named version refs, Iceberg-style) --------------------------
+    def _tags_path(self) -> str:
+        return self._join(self.manifest_dir, "tags.json")
+
+    def tags(self) -> dict[str, int]:
+        """Named refs → manifest version (Iceberg tag analogue,
+        `radiant/tasks/iceberg` catalog refs). Metadata-only; last writer
+        wins (tags are operator commands, not data commits)."""
+        path = self._tags_path()
+        if not self._exists(path):
+            return {}
+        if self.filesystem is not None:
+            return {k: int(v) for k, v in json.loads(self.filesystem.cat_file(path)).items()}
+        with open(path) as f:
+            return {k: int(v) for k, v in json.load(f).items()}
+
+    def _write_tags(self, tags: dict[str, int]) -> None:
+        data = json.dumps(tags, separators=(",", ":")).encode()
+        path = self._tags_path()
+        if self.filesystem is not None:
+            self.filesystem.pipe_file(path, data)
+            return
+        tmp = path + ".tmp"
+        with open(tmp, "wb") as f:
+            f.write(data)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, path)
+
+    def set_tag(self, name: str, version: int) -> None:
+        """Pin ``name`` to ``version``. A tagged version is exempt from
+        gc_orphans' manifest pruning, so its snapshot (and every data file
+        it references) stays readable until the tag is deleted."""
+        if version not in self.versions():
+            raise FileNotFoundError(f"version {version} is not a retained manifest")
+        t = self.tags()
+        t[name] = int(version)
+        self._write_tags(t)
+
+    def delete_tag(self, name: str) -> None:
+        t = self.tags()
+        t.pop(name, None)
+        self._write_tags(t)
+
+    def resolve_tag(self, name: str) -> int:
+        t = self.tags()
+        if name not in t:
+            raise KeyError(f"unknown tag {name!r}")
+        return t[name]
+
     # -- GC ---------------------------------------------------------------
     def gc_orphans(
         self, keep_versions: int = 2, staging_age_s: float = 3600.0
@@ -560,7 +610,10 @@ class Lake:
         removed: list[str] = []
         now = time.time()
         vs = self.versions()
+        tagged = set(self.tags().values())  # tag-pinned versions never prune
         for v in vs[:-keep_versions] if keep_versions > 0 else vs[:-1]:
+            if v in tagged:
+                continue
             path = self._manifest_path(v)
             self._remove(path)
             removed.append(f"manifests/manifest-v{v:012d}.json")

@@ -246,3 +246,26 @@ def test_fsspec_staging_cleanup_eventual(tmp_path):
     if lake.filesystem.exists(sd):  # async thread lost the race — gc owns it
         lake.gc_orphans(keep_versions=2, staging_age_s=0.0)
     assert not lake.filesystem.exists(sd)
+
+
+def test_memory_lake_tags_pin_through_gc():
+    lake = _mem_lake("tags")
+    for v, txn in ((1, "ta"), (2, "tb"), (3, "tc")):
+        _stage_one(lake, txn, 0)
+        files = lake.promote_staged_files(txn)
+        lake.commit(
+            _manifest(
+                v,
+                txn,
+                {0: PartitionState(files=files[0], watermark_lsn=v)},
+                parent=v - 1 if v > 1 else None,
+            )
+        )
+    lake.set_tag("keep", 1)
+    assert lake.tags() == {"keep": 1}
+    lake.gc_orphans(keep_versions=1, staging_age_s=0.0)
+    assert 1 in lake.versions() and 2 not in lake.versions()
+    assert lake.read_manifest(lake.resolve_tag("keep")).version == 1
+    lake.delete_tag("keep")
+    lake.gc_orphans(keep_versions=1, staging_age_s=0.0)
+    assert lake.versions() == [3]
