@@ -11,6 +11,9 @@ contract). Subcommands mirror the reference's operational surface
     compact  --lake L [--min-files K] [--purge-tombstones]
     reshard  --lake L --new-n-parts N [--allow-rewind]
     gc       --lake L [--keep-versions K] [--staging-age-s S]
+    tag      --lake L --name T [--version V | --delete]   # GC-pinned refs
+    rollback --lake L --to-version V        # one-commit state revert
+    checksums --lake L [--version V]        # per-partition anti-entropy
     qa       --lake L | --tenant-root D [--tenant T]
     show     --lake L            # manifest summary
 
@@ -115,9 +118,27 @@ def main(argv: list[str] | None = None) -> int:
     sp = sub.add_parser("show", help="print the current manifest summary")
     _tenant_args(sp)
 
+    tg = sub.add_parser("tag", help="set/delete a named GC-pinned version ref")
+    _tenant_args(tg)
+    tg.add_argument("--name", required=True)
+    tg.add_argument("--version", type=int, default=None)
+    tg.add_argument("--delete", action="store_true")
+
+    rb = sub.add_parser(
+        "rollback", help="revert table state to a retained version (one commit)"
+    )
+    _tenant_args(rb)
+    rb.add_argument("--to-version", type=int, required=True)
+
+    ck = sub.add_parser(
+        "checksums", help="per-partition anti-entropy checksums of a snapshot"
+    )
+    _tenant_args(ck)
+    ck.add_argument("--version", type=int, default=None)
+
     args = p.parse_args(argv)
 
-    needs_ray = args.cmd in ("apply", "tail", "compact", "reshard", "qa")
+    needs_ray = args.cmd in ("apply", "tail", "compact", "reshard", "qa", "checksums")
     owns_session = False
     if needs_ray:
         import ray
@@ -185,6 +206,22 @@ def main(argv: list[str] | None = None) -> int:
 
                 eng = _engine(args)
                 out = run_checks(eng.read_snapshot(), snapshot_checks())
+        elif args.cmd == "tag":
+            from radiant_portal_pipeline_ray.state.manifest import Lake
+
+            lk = Lake(_resolve_lake(args))
+            if args.delete:
+                lk.delete_tag(args.name)
+            else:
+                if args.version is None:
+                    raise SystemExit("tag: need --version (or --delete)")
+                lk.set_tag(args.name, args.version)
+            out = {"tags": lk.tags()}
+        elif args.cmd == "rollback":
+            out = _engine(args).rollback(args.to_version)
+        elif args.cmd == "checksums":
+            t = _engine(args).snapshot_checksums(version=args.version)
+            out = {"partitions": t.to_pylist()}
         else:  # show
             from radiant_portal_pipeline_ray.state.manifest import Lake
 
