@@ -301,7 +301,13 @@ class Lake:
                 return self.filesystem.modified(path).timestamp()
             except (FileNotFoundError, IsADirectoryError, NotImplementedError):
                 return default
-        return os.path.getmtime(path)
+        try:
+            return os.path.getmtime(path)
+        except OSError:
+            # a concurrent committer's async staging cleanup can remove the
+            # path between listdir and this stat — same contract as fsspec:
+            # the caller's conservative default decides
+            return default
 
     def _remove(self, path: str) -> None:
         if self.filesystem is not None:
@@ -327,13 +333,24 @@ class Lake:
             except FileNotFoundError:
                 pass
             return
+        # tolerate a racing remover (the committer's async staging cleanup
+        # may be deleting the same tree): every step ignores already-gone
         for root_, _, files_ in os.walk(path, topdown=False):
             for fn in files_:
-                os.remove(os.path.join(root_, fn))
+                try:
+                    os.remove(os.path.join(root_, fn))
+                except FileNotFoundError:
+                    pass
         for root_, dirs_, _ in os.walk(path, topdown=False):
             for dd in dirs_:
-                os.rmdir(os.path.join(root_, dd))
-        os.rmdir(path)
+                try:
+                    os.rmdir(os.path.join(root_, dd))
+                except (FileNotFoundError, OSError):
+                    pass
+        try:
+            os.rmdir(path)
+        except FileNotFoundError:
+            pass
 
     def pyarrow_fs(self):
         """Wrapped pyarrow FileSystem for ``ray.data.read_parquet`` /
