@@ -241,6 +241,8 @@ def main(argv: list[str] | None = None) -> int:
                     "bytes": sum(st.bytes for st in man.partitions.values()),
                     "min_watermark": man.min_watermark(),
                     "salted_domains": sorted(man.salt_map),
+                    "quarantine_files": len(man.quarantine_files),
+                    "tags": Lake(_resolve_lake(args)).tags(),
                     "schema": [
                         [f.name, str(f.type)] for f in (man.schema or [])
                     ],
