@@ -248,10 +248,7 @@ def t_split_assign(sf_dir: str, bands=(90, 95)):
     """,
 )
 def cdc_bucket_checksums(sf_dir: str, n_buckets: int = 16):
-    import os
-
     import pyarrow.compute as pc
-    import ray.data as rd
 
     from radiant_portal_pipeline_ray.sources.io import read_parquet_clean
     from radiant_portal_pipeline_ray.stages.dedup import md5_hash64
