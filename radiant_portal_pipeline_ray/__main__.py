@@ -14,6 +14,7 @@ contract). Subcommands mirror the reference's operational surface
     tag      --lake L --name T [--version V | --delete]   # GC-pinned refs
     rollback --lake L --to-version V        # one-commit state revert
     checksums --lake L [--version V]        # per-partition anti-entropy
+    clone    --lake L --dst D [--version V]  # instant hard-link COW fork
     qa       --lake L | --tenant-root D [--tenant T]
     show     --lake L            # manifest summary
 
@@ -136,6 +137,11 @@ def main(argv: list[str] | None = None) -> int:
     _tenant_args(ck)
     ck.add_argument("--version", type=int, default=None)
 
+    cl = sub.add_parser("clone", help="instant writable fork (hard-link COW)")
+    _tenant_args(cl)
+    cl.add_argument("--dst", required=True)
+    cl.add_argument("--version", type=int, default=None)
+
     args = p.parse_args(argv)
 
     needs_ray = args.cmd in ("apply", "tail", "compact", "reshard", "qa", "checksums")
@@ -217,6 +223,13 @@ def main(argv: list[str] | None = None) -> int:
                     raise SystemExit("tag: need --version (or --delete)")
                 lk.set_tag(args.name, args.version)
             out = {"tags": lk.tags()}
+        elif args.cmd == "clone":
+            from radiant_portal_pipeline_ray.state.manifest import Lake
+
+            dst = Lake(_resolve_lake(args)).clone_to(
+                args.dst, version=args.version
+            )
+            out = {"dst": dst.root, "version": dst.current_manifest().version}
         elif args.cmd == "rollback":
             out = _engine(args).rollback(args.to_version)
         elif args.cmd == "checksums":

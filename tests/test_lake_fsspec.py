@@ -269,3 +269,22 @@ def test_memory_lake_tags_pin_through_gc():
     lake.delete_tag("keep")
     lake.gc_orphans(keep_versions=1, staging_age_s=0.0)
     assert lake.versions() == [3]
+
+
+def test_memory_lake_clone():
+    lake = _mem_lake("clone-src")
+    _stage_one(lake, "tsrc", 0)
+    files = lake.promote_staged_files("tsrc")
+    lake.commit(
+        _manifest(1, "tsrc", {0: PartitionState(files=files[0], watermark_lsn=1)})
+    )
+    import fsspec
+
+    fs = fsspec.filesystem("memory")
+    if fs.exists("/graft-test-clone-dst"):
+        fs.rm("/graft-test-clone-dst", recursive=True)
+    dst = lake.clone_to("memory://graft-test-clone-dst")
+    man = dst.current_manifest()
+    assert man.version == 1 and man.partitions[0].files == files[0]
+    for f in files[0]:
+        assert dst._exists(dst.abspath(f))
