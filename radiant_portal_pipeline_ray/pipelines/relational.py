@@ -2268,3 +2268,239 @@ def _sorted_topk_output(out):
 
     # ≤ k rows per lang per bucket — tiny; one block, one deterministic sort
     return out.repartition(1).map_batches(order, batch_format="pyarrow", batch_size=None)
+
+
+# ---------------------------------------------------------------------------
+# CUBE (non-hierarchical grouping sets, complements ROLLUP): all four
+# grouping sets of (region, mktsegment) fold from ONE finest-grain partial
+# aggregate — the fact table is scanned exactly once.
+# ---------------------------------------------------------------------------
+@_register(
+    "q_cube_revenue",
+    """
+    SELECT r_name AS region_name, c_mktsegment AS segment,
+           SUM(CAST(ROUND(o_totalprice*100) AS BIGINT)) AS revenue_c,
+           COUNT(*) AS n_orders
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    GROUP BY CUBE(r_name, c_mktsegment)
+    ORDER BY region_name NULLS FIRST, segment NULLS FIRST
+    """,
+)
+def q_cube_revenue(sf_dir: str):
+    cust = pq.read_table(
+        _pq(sf_dir, "customer"), columns=["c_custkey", "c_nationkey", "c_mktsegment"]
+    )
+    nation = pq.read_table(_pq(sf_dir, "nation"), columns=["n_nationkey", "n_regionkey"])
+    region = pq.read_table(_pq(sf_dir, "region"), columns=["r_regionkey", "r_name"])
+    dim = cust.join(nation, keys=["c_nationkey"], right_keys=["n_nationkey"]).join(
+        region, keys=["n_regionkey"], right_keys=["r_regionkey"]
+    )
+    dim = dim.select(["c_custkey", "r_name", "c_mktsegment"]).rename_columns(
+        ["c_custkey", "region_name", "segment"]
+    )
+    orders = read_parquet_clean(
+        _pq(sf_dir, "orders"), columns=["o_custkey", "o_totalprice"]
+    )
+    joined = orders.map_batches(
+        make_broadcast_join(dim, ["o_custkey"], ["c_custkey"], how="inner"),
+        batch_format="pyarrow",
+    )
+
+    def to_int(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "region_name": b.column("region_name"),
+                "segment": b.column("segment"),
+                "price_c": _to_cents(b.column("o_totalprice")),
+                "one": pa.array(np.ones(b.num_rows, dtype=np.int64)),
+            }
+        )
+
+    fine = partial_final_groupby(
+        joined.map_batches(to_int, batch_format="pyarrow"),
+        ["region_name", "segment"],
+        [("price_c", "sum", "revenue_c"), ("one", "sum", "n_orders")],
+    )
+
+    def cube(t: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "region_name": t.column("region_name"),
+                "segment": t.column("segment"),
+                "revenue_c": pc.cast(t.column("revenue_c"), pa.int64()),
+                "n_orders": pc.cast(t.column("n_orders"), pa.int64()),
+            }
+        )
+
+        def fold(keys: list[str]) -> pa.Table:
+            if keys:
+                g = t.group_by(keys).aggregate(
+                    [("revenue_c", "sum"), ("n_orders", "sum")]
+                )
+                cols = {}
+                for k in ("region_name", "segment"):
+                    cols[k] = (
+                        g.column(k)
+                        if k in keys
+                        else pa.nulls(g.num_rows, pa.string())
+                    )
+                cols["revenue_c"] = g.column("revenue_c_sum")
+                cols["n_orders"] = g.column("n_orders_sum")
+                return pa.table(cols)
+            return pa.table(
+                {
+                    "region_name": pa.nulls(1, pa.string()),
+                    "segment": pa.nulls(1, pa.string()),
+                    "revenue_c": pa.array(
+                        [pc.sum(t.column("revenue_c")).as_py() or 0], pa.int64()
+                    ),
+                    "n_orders": pa.array(
+                        [pc.sum(t.column("n_orders")).as_py() or 0], pa.int64()
+                    ),
+                }
+            )
+
+        sets = [["region_name", "segment"], ["region_name"], ["segment"], []]
+        out = pa.concat_tables([fold(k).cast(fold([]).schema) for k in sets])
+        return out.take(
+            pc.sort_indices(
+                out,
+                sort_keys=[("region_name", "ascending"), ("segment", "ascending")],
+                null_placement="at_start",
+            )
+        )
+
+    return (
+        fine.repartition(1).map_batches(cube, batch_format="pyarrow", batch_size=None)
+    )
+
+
+# ---------------------------------------------------------------------------
+# EXCEPT (set difference with distinct semantics) as a first-class entry:
+# distinct is taken per side INSIDE the exchange buckets (both sides
+# co-partition on the key), so neither distinct set materializes globally.
+# ---------------------------------------------------------------------------
+@_register(
+    "q_except_recent_custkeys",
+    """
+    SELECT custkey FROM (
+      SELECT c_custkey AS custkey FROM customer
+      EXCEPT
+      SELECT o_custkey FROM orders WHERE o_orderdate >= TIMESTAMP '2001-01-01'
+    ) ORDER BY custkey
+    """,
+)
+def q_except_recent_custkeys(sf_dir: str, n_buckets: int = 32):
+    cust = read_parquet_clean(_pq(sf_dir, "customer"), columns=["c_custkey"])
+    orders = read_parquet_clean(
+        _pq(sf_dir, "orders"), columns=["o_custkey", "o_orderdate"]
+    )
+
+    def left_prep(b: pa.Table) -> pa.Table:
+        g = b.group_by(["c_custkey"]).aggregate([])
+        return g.rename_columns(["custkey"])
+
+    cutoff = pa.scalar(
+        np.datetime64("2001-01-01", "us").astype("datetime64[us]").item(),
+        pa.timestamp("us"),
+    )
+
+    def right_prep(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.greater_equal(b.column("o_orderdate"), cutoff))
+        g = b.group_by(["o_custkey"]).aggregate([])
+        return g.rename_columns(["custkey"])
+
+    l = cust.map_batches(left_prep, batch_format="pyarrow")
+    r = orders.map_batches(right_prep, batch_format="pyarrow")
+
+    def except_bucket(lt: pa.Table, rt: pa.Table) -> pa.Table:
+        lt = lt.group_by(["custkey"]).aggregate([])
+        keep = pc.invert(
+            pc.is_in(lt.column("custkey"), value_set=rt.column("custkey").combine_chunks())
+        )
+        return lt.filter(keep)
+
+    from radiant_portal_pipeline_ray.stages.taskshuffle import exchange_join
+
+    return exchange_join(
+        l, r, ["custkey"], ["custkey"], n_buckets, except_bucket
+    ).sort("custkey")
+
+
+# ---------------------------------------------------------------------------
+# rank() vs dense_rank() per key (gap vs no-gap ranking over ties) — both
+# derived in one vectorized pass per bucket: ties share a rank; rank jumps
+# past ties, dense_rank does not.
+# ---------------------------------------------------------------------------
+@_register(
+    "q_order_price_ranks",
+    """
+    SELECT o_custkey, o_orderkey,
+           CAST(ROUND(o_totalprice*100) AS BIGINT) AS totalprice_c,
+           rank() OVER (
+             PARTITION BY o_custkey
+             ORDER BY CAST(ROUND(o_totalprice*100) AS BIGINT) DESC) AS price_rank,
+           dense_rank() OVER (
+             PARTITION BY o_custkey
+             ORDER BY CAST(ROUND(o_totalprice*100) AS BIGINT) DESC) AS price_dense_rank
+    FROM orders
+    ORDER BY o_custkey, totalprice_c DESC, o_orderkey
+    """,
+)
+def q_order_price_ranks(sf_dir: str, n_partitions: int = 64):
+    orders = read_parquet_clean(
+        _pq(sf_dir, "orders"), columns=["o_custkey", "o_orderkey", "o_totalprice"]
+    )
+
+    def ranks(group: pa.Table) -> pa.Table:
+        k = group.column("o_custkey").to_numpy(zero_copy_only=False)
+        oid = group.column("o_orderkey").to_numpy(zero_copy_only=False)
+        cents = _to_cents(group.column("o_totalprice")).to_numpy(zero_copy_only=False)
+        order = np.lexsort((oid, -cents, k))
+        k, oid, cents = k[order], oid[order], cents[order]
+        n = len(k)
+        if n == 0:
+            e = pa.array([], pa.int64())
+            return pa.table(
+                {
+                    "o_custkey": e, "o_orderkey": e, "totalprice_c": e,
+                    "price_rank": e, "price_dense_rank": e,
+                }
+            )
+        new_key = np.empty(n, dtype=bool)
+        new_key[0] = True
+        new_key[1:] = k[1:] != k[:-1]
+        new_val = np.empty(n, dtype=bool)
+        new_val[0] = True
+        new_val[1:] = new_key[1:] | (cents[1:] != cents[:-1])
+        pos = np.arange(n)
+        key_starts = np.flatnonzero(new_key)
+        lens = np.diff(np.append(key_starts, n))
+        base = np.repeat(pos[key_starts], lens)
+        # rank: position of the tie-group's first row within the key
+        tie_starts = np.where(new_val, pos, 0)
+        tie_first = np.maximum.accumulate(tie_starts)
+        rank = tie_first - base + 1
+        # dense_rank: number of value changes within the key so far
+        dcum = np.cumsum(new_val)
+        drank = dcum - np.repeat(dcum[key_starts] - 1, lens)
+        return pa.table(
+            {
+                "o_custkey": pa.array(k, pa.int64()),
+                "o_orderkey": pa.array(oid, pa.int64()),
+                "totalprice_c": pa.array(cents, pa.int64()),
+                "price_rank": pa.array(rank, pa.int64()),
+                "price_dense_rank": pa.array(drank, pa.int64()),
+            }
+        )
+
+    from radiant_portal_pipeline_ray.stages.taskshuffle import exchange_group
+
+    out = exchange_group(orders, ["o_custkey"], n_partitions, ranks)
+    return out.sort(
+        ["o_custkey", "totalprice_c", "o_orderkey"],
+        descending=[False, True, False],
+    )
