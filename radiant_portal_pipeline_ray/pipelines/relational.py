@@ -2504,3 +2504,123 @@ def q_order_price_ranks(sf_dir: str, n_partitions: int = 64):
         ["o_custkey", "totalprice_c", "o_orderkey"],
         descending=[False, True, False],
     )
+
+
+# ---------------------------------------------------------------------------
+# INTERSECT (set intersection, distinct semantics) — symmetric to the
+# EXCEPT entry: both sides co-partition, per-side distinct happens inside
+# the bucket, neither distinct set materializes globally.
+# ---------------------------------------------------------------------------
+@_register(
+    "q_intersect_active_custkeys",
+    """
+    SELECT custkey FROM (
+      SELECT o_custkey AS custkey FROM orders
+        WHERE o_orderdate >= TIMESTAMP '2000-01-01'
+      INTERSECT
+      SELECT o_custkey FROM orders WHERE o_orderdate < TIMESTAMP '1996-01-01'
+    ) ORDER BY custkey
+    """,
+)
+def q_intersect_active_custkeys(sf_dir: str, n_buckets: int = 32):
+    orders = read_parquet_clean(
+        _pq(sf_dir, "orders"), columns=["o_custkey", "o_orderdate"]
+    )
+    lo = pa.scalar(
+        np.datetime64("2000-01-01", "us").astype("datetime64[us]").item(),
+        pa.timestamp("us"),
+    )
+    hi = pa.scalar(
+        np.datetime64("1996-01-01", "us").astype("datetime64[us]").item(),
+        pa.timestamp("us"),
+    )
+
+    def side(pred):
+        def prep(b: pa.Table) -> pa.Table:
+            g = b.filter(pred(b)).group_by(["o_custkey"]).aggregate([])
+            return g.rename_columns(["custkey"])
+
+        return prep
+
+    l = orders.map_batches(
+        side(lambda b: pc.greater_equal(b.column("o_orderdate"), lo)),
+        batch_format="pyarrow",
+    )
+    r = orders.map_batches(
+        side(lambda b: pc.less(b.column("o_orderdate"), hi)),
+        batch_format="pyarrow",
+    )
+
+    def intersect_bucket(lt: pa.Table, rt: pa.Table) -> pa.Table:
+        lt = lt.group_by(["custkey"]).aggregate([])
+        return lt.filter(
+            pc.is_in(
+                lt.column("custkey"), value_set=rt.column("custkey").combine_chunks()
+            )
+        )
+
+    from radiant_portal_pipeline_ray.stages.taskshuffle import exchange_join
+
+    return exchange_join(
+        l, r, ["custkey"], ["custkey"], n_buckets, intersect_bucket
+    ).sort("custkey")
+
+
+# ---------------------------------------------------------------------------
+# Grouped MODE (most frequent value per key, ties → smallest value): one
+# keyed exchange; each bucket counts its keys' (key, value) pairs with one
+# arrow group_by, then a vectorized top-1 pick over (count desc, value asc).
+# ---------------------------------------------------------------------------
+@_register(
+    "q_modal_event_type",
+    """
+    SELECT user_id, event_type AS modal_type, n FROM (
+      SELECT user_id, event_type, COUNT(*) AS n FROM events
+      GROUP BY user_id, event_type
+    )
+    QUALIFY row_number() OVER (
+      PARTITION BY user_id ORDER BY n DESC, event_type) = 1
+    ORDER BY user_id
+    """,
+)
+def q_modal_event_type(sf_dir: str, n_partitions: int = 64):
+    from radiant_portal_pipeline_ray.stages.aggregates import topk_per_key_table
+
+    ev = read_parquet_clean(
+        _pq(sf_dir, "events"), columns=["user_id", "event_type"]
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        g = b.group_by(["user_id", "event_type"]).aggregate([("event_type", "count")])
+        g = g.rename_columns(["user_id", "event_type", "n"])
+        return g.set_column(2, pa.field("n", pa.int64()), pc.cast(g.column("n"), pa.int64()))
+
+    def modal(group: pa.Table) -> pa.Table:
+        g = (
+            group.group_by(["user_id", "event_type"])
+            .aggregate([("n", "sum")])
+            .rename_columns(["user_id", "event_type", "n"])
+        )
+        g = g.set_column(2, pa.field("n", pa.int64()), pc.cast(g.column("n"), pa.int64()))
+        g = g.append_column(
+            "neg_n", pc.multiply(g.column("n"), pa.scalar(-1, pa.int64()))
+        )
+        top = topk_per_key_table(
+            g, ["user_id"], [("neg_n", "ascending"), ("event_type", "ascending")], k=1
+        )
+        return pa.table(
+            {
+                "user_id": top.column("user_id"),
+                "modal_type": top.column("event_type"),
+                "n": top.column("n"),
+            }
+        )
+
+    from radiant_portal_pipeline_ray.stages.taskshuffle import exchange_group
+
+    return exchange_group(
+        ev.map_batches(partial, batch_format="pyarrow"),
+        ["user_id"],
+        n_partitions,
+        modal,
+    ).sort("user_id")
