@@ -2624,3 +2624,55 @@ def q_modal_event_type(sf_dir: str, n_partitions: int = 64):
         n_partitions,
         modal,
     ).sort("user_id")
+
+
+# ---------------------------------------------------------------------------
+# UNPIVOT / melt (wide → long, the inverse of q_pivot_event_values): the
+# per-user conditional sums widen into 5 typed columns, then melt back into
+# (user_id, event_type, value_c) rows — zero-copy column stacking per
+# batch, no shuffle beyond the aggregate's own exchange.
+# ---------------------------------------------------------------------------
+def _unpivot_sql() -> str:
+    selects = "\n      UNION ALL ".join(
+        f"SELECT user_id, '{t}' AS event_type, {t}_c AS value_c FROM wide"
+        for t in _PIVOT_TYPES
+    )
+    cases = ",\n             ".join(
+        f"SUM(CASE WHEN event_type = '{t}' THEN"
+        f" CAST(ROUND(value*100) AS BIGINT) ELSE 0 END) AS {t}_c"
+        for t in _PIVOT_TYPES
+    )
+    return f"""
+    WITH wide AS (
+      SELECT user_id,
+             {cases}
+      FROM events GROUP BY user_id
+    )
+    SELECT * FROM (
+      {selects}
+    ) ORDER BY user_id, event_type
+    """
+
+
+@_register("q_unpivot_event_values", _unpivot_sql())
+def q_unpivot_event_values(sf_dir: str):
+    wide = q_pivot_event_values(sf_dir)
+
+    def melt(b: pa.Table) -> pa.Table:
+        n = b.num_rows
+        parts = []
+        for t in _PIVOT_TYPES:
+            parts.append(
+                pa.table(
+                    {
+                        "user_id": b.column("user_id"),
+                        "event_type": pa.array([t] * n, pa.string()),
+                        "value_c": b.column(f"{t}_c"),
+                    }
+                )
+            )
+        return pa.concat_tables(parts)
+
+    return wide.map_batches(melt, batch_format="pyarrow").sort(
+        ["user_id", "event_type"]
+    )
