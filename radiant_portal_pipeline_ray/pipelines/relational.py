@@ -1342,7 +1342,7 @@ def q_top3_orders_per_customer(sf_dir: str):
     "q_rollup_revenue",
     """
     SELECT r_name AS region_name, n_name AS nation_name,
-           SUM(CAST(ROUND(o_totalprice*100) AS BIGINT)) AS revenue_c,
+           CAST(SUM(CAST(ROUND(o_totalprice*100) AS BIGINT)) AS BIGINT) AS revenue_c,
            COUNT(*) AS n_orders
     FROM orders
     JOIN customer ON o_custkey = c_custkey
@@ -1453,8 +1453,8 @@ def q_rollup_revenue(sf_dir: str):
     "q_running_total",
     """
     SELECT event_id, user_id, epoch_us(ts) AS ts_us,
-           SUM(CAST(ROUND(value*100) AS BIGINT)) OVER (
-             PARTITION BY user_id ORDER BY ts, event_id) AS running_c
+           CAST(SUM(CAST(ROUND(value*100) AS BIGINT)) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) AS running_c
     FROM events
     ORDER BY user_id, ts_us, event_id
     """,
@@ -1579,8 +1579,8 @@ _PIVOT_TYPES = ["click", "error", "purchase", "signup", "view"]
 
 def _pivot_sql() -> str:
     cases = ",\n           ".join(
-        f"SUM(CASE WHEN event_type = '{t}' THEN"
-        f" CAST(ROUND(value*100) AS BIGINT) ELSE 0 END) AS {t}_c"
+        f"CAST(SUM(CASE WHEN event_type = '{t}' THEN"
+        f" CAST(ROUND(value*100) AS BIGINT) ELSE 0 END) AS BIGINT) AS {t}_c"
         for t in _PIVOT_TYPES
     )
     return f"""
@@ -2279,7 +2279,7 @@ def _sorted_topk_output(out):
     "q_cube_revenue",
     """
     SELECT r_name AS region_name, c_mktsegment AS segment,
-           SUM(CAST(ROUND(o_totalprice*100) AS BIGINT)) AS revenue_c,
+           CAST(SUM(CAST(ROUND(o_totalprice*100) AS BIGINT)) AS BIGINT) AS revenue_c,
            COUNT(*) AS n_orders
     FROM orders
     JOIN customer ON o_custkey = c_custkey
@@ -2638,8 +2638,8 @@ def _unpivot_sql() -> str:
         for t in _PIVOT_TYPES
     )
     cases = ",\n             ".join(
-        f"SUM(CASE WHEN event_type = '{t}' THEN"
-        f" CAST(ROUND(value*100) AS BIGINT) ELSE 0 END) AS {t}_c"
+        f"CAST(SUM(CASE WHEN event_type = '{t}' THEN"
+        f" CAST(ROUND(value*100) AS BIGINT) ELSE 0 END) AS BIGINT) AS {t}_c"
         for t in _PIVOT_TYPES
     )
     return f"""

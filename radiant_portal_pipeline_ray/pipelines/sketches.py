@@ -236,7 +236,7 @@ def t_split_assign(sf_dir: str, bands=(90, 95)):
            CAST((SUM(h) % 18446744073709551616) // 4294967296 AS BIGINT)
              AS checksum_hi
     FROM (
-      SELECT user_id % 16 AS bucket,
+      SELECT ((user_id % 16) + 16) % 16 AS bucket,
              CAST(CAST('0x' || substr(md5(
                CAST(event_id AS VARCHAR) || '|' ||
                CAST(user_id AS VARCHAR) || '|' || event_type

@@ -73,6 +73,16 @@ def test_query_matches_oracle(ray_session, name):
         want.columns,
     )
     assert len(got) == len(want), f"{name}: {len(got)} vs {len(want)}"
+    # the driver's value hash is DTYPE-SENSITIVE: a DuckDB HUGEINT (object
+    # dtype) vs engine int64 hash-mismatches even when every cell is equal
+    # (the five CORRECTNESS_r04 reds). Oracle SQL must cast the OUTER
+    # aggregate so both sides land on the same physical type.
+    mismatched = {
+        c: (str(got[c].dtype), str(want[c].dtype))
+        for c in got.columns
+        if got[c].dtype != want[c].dtype
+    }
+    assert not mismatched, f"{name}: oracle dtype hazard {mismatched}"
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
 
 
