@@ -228,6 +228,11 @@ class Lake:
 
     def __init__(self, root: str, filesystem=None):
         if filesystem is None and "://" in root:
+            if root.split("://", 1)[0] in ("s3", "s3a"):
+                # self-contained boto3 driver when s3fs is not installed
+                from radiant_portal_pipeline_ray.state import s3boto
+
+                s3boto.ensure_registered()
             import fsspec
 
             # fsspec's LocalFileSystem (a file:// root) is POSIX underneath

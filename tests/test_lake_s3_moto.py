@@ -1,0 +1,261 @@
+"""Lake suite against a REAL S3 REST API (moto server over HTTP).
+
+The fake-fs test (`test_review_r4.py`) proves the Lake's s3 *branch logic*;
+this suite proves the engine against the actual S3 wire protocol — the
+same REST surface (conditional PUT included) MinIO/AWS speak, served by a
+local moto `ThreadedMotoServer`. Ray split/merge/compact workers talk to
+it over HTTP through the pickled `Boto3S3FileSystem` (endpoint baked in at
+construction), so every byte of data and every manifest CAS in the full
+cycle below crosses a real S3 API boundary.
+
+VERDICT r4 'Next round' #2. Reference analogue: the reference
+integration-tests its lake against a MinIO container
+(`tests/integration/fixtures_docker.py:20-28`).
+"""
+
+import logging
+import os
+import threading
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+import pytest
+
+pytest.importorskip("boto3")
+pytest.importorskip("moto")
+
+from radiant_portal_pipeline_ray.state.manifest import (
+    CommitConflict,
+    Lake,
+    Manifest,
+    PartitionState,
+)
+from radiant_portal_pipeline_ray.state.s3boto import Boto3S3FileSystem
+
+
+@pytest.fixture(scope="module")
+def moto_s3():
+    """Threaded moto S3 server on an ephemeral port; env vars route both
+    driver-side ``Lake("s3://…")`` construction and boto3 credential
+    resolution at it. Ray workers need no env: the fs instance pickles
+    with the endpoint baked in."""
+    from moto.server import ThreadedMotoServer
+
+    logging.getLogger("werkzeug").setLevel(logging.CRITICAL)
+    server = ThreadedMotoServer(ip_address="127.0.0.1", port=0)
+    server.start()
+    port = server._server.socket.getsockname()[1]
+    endpoint = f"http://127.0.0.1:{port}"
+    keys = ("AWS_ENDPOINT_URL", "AWS_ACCESS_KEY_ID", "AWS_SECRET_ACCESS_KEY")
+    saved = {k: os.environ.get(k) for k in keys}
+    os.environ["AWS_ENDPOINT_URL"] = endpoint
+    os.environ["AWS_ACCESS_KEY_ID"] = "graft-test"
+    os.environ["AWS_SECRET_ACCESS_KEY"] = "graft-test"
+    yield endpoint
+    for k, v in saved.items():
+        if v is None:
+            os.environ.pop(k, None)
+        else:
+            os.environ[k] = v
+    server.stop()
+
+
+def _mk_bucket(name: str) -> None:
+    import boto3
+
+    boto3.client(
+        "s3",
+        endpoint_url=os.environ["AWS_ENDPOINT_URL"],
+        region_name="us-east-1",
+    ).create_bucket(Bucket=name)
+
+
+def _manifest(version, txn, parts, parent=None):
+    return Manifest(
+        version=version,
+        txn_id=txn,
+        parent_version=parent,
+        schema=pa.schema([("url", pa.string()), ("deleted", pa.bool_())]),
+        n_parts=2,
+        partitions=parts,
+    )
+
+
+# -- filesystem driver surface ------------------------------------------------
+
+
+def test_boto3fs_surface(moto_s3):
+    """ls / info / find / ranged reads / recursive rm / copy / multipart
+    writes on the real wire."""
+    _mk_bucket("fs-surface")
+    fs = Boto3S3FileSystem()
+    fs.pipe_file("fs-surface/a/x.bin", b"0123456789")
+    fs.pipe_file("fs-surface/a/b/y.bin", b"abc")
+    # ls with virtual directories
+    names = fs.ls("fs-surface/a", detail=False)
+    assert names == ["fs-surface/a/b", "fs-surface/a/x.bin"]
+    assert fs.isdir("fs-surface/a/b") and not fs.isdir("fs-surface/a/x.bin")
+    # ls on an exact file key lists the file itself (POSIX ls semantics)
+    got = fs.ls("fs-surface/a/x.bin", detail=True)
+    assert len(got) == 1 and got[0]["type"] == "file" and got[0]["size"] == 10
+    # ranged reads (the parquet-footer access pattern)
+    assert fs.cat_file("fs-surface/a/x.bin", start=3, end=6) == b"345"
+    assert fs.cat_file("fs-surface/a/x.bin", start=8) == b"89"
+    # find is recursive, file-only, sorted
+    assert fs.find("fs-surface/a") == [
+        "fs-surface/a/b/y.bin",
+        "fs-surface/a/x.bin",
+    ]
+    assert fs.find("fs-surface/a/x.bin") == ["fs-surface/a/x.bin"]
+    # server-side copy
+    fs.cp_file("fs-surface/a/x.bin", "fs-surface/c/x2.bin")
+    assert fs.cat_file("fs-surface/c/x2.bin") == b"0123456789"
+    # multipart: cross one 5 MiB block so close() completes a real MPU
+    big = os.urandom(5 * 2**20 + 4096)
+    with fs.open("fs-surface/big.bin", "wb", block_size=5 * 2**20) as f:
+        f.write(big)
+    assert fs.info("fs-surface/big.bin")["size"] == len(big)
+    assert fs.cat_file("fs-surface/big.bin", start=5 * 2**20) == big[5 * 2**20 :]
+    # buffered random-access reader
+    with fs.open("fs-surface/big.bin", "rb") as f:
+        f.seek(1000)
+        assert f.read(16) == big[1000:1016]
+    # recursive rm batches deletes
+    fs.rm("fs-surface/a", recursive=True)
+    assert fs.find("fs-surface/a") == []
+    assert not fs.exists("fs-surface/a/x.bin")
+    with pytest.raises(FileNotFoundError):
+        fs.cat_file("fs-surface/a/x.bin")
+
+
+def test_boto3fs_pickle_carries_resolved_endpoint(moto_s3):
+    """A Ray worker unpickles the fs WITHOUT the driver's AWS_ENDPOINT_URL
+    env — the resolved endpoint must ride inside the pickle itself."""
+    import pickle
+
+    _mk_bucket("fs-pickle")
+    fs = Boto3S3FileSystem()
+    fs.pipe_file("fs-pickle/k", b"v")
+    blob = pickle.dumps(fs)
+    saved = os.environ.pop("AWS_ENDPOINT_URL")
+    try:
+        fs2 = pickle.loads(blob)
+    finally:
+        os.environ["AWS_ENDPOINT_URL"] = saved
+    assert fs2.endpoint_url == fs.endpoint_url == moto_s3
+    assert fs2.cat_file("fs-pickle/k") == b"v"
+
+
+# -- manifest CAS on the wire -------------------------------------------------
+
+
+def test_s3_commit_cas_and_conflict(moto_s3):
+    """Put-if-absent over real If-None-Match: idempotent re-commit, loser
+    CommitConflict, winner's bytes intact."""
+    _mk_bucket("cas")
+    a, b = Lake("s3://cas/lake"), Lake("s3://cas/lake")
+    assert isinstance(a.filesystem, Boto3S3FileSystem)
+    txa, txb = a.new_txn_id(), b.new_txn_id()
+    parts = {0: PartitionState(files=[], rows=0, watermark_lsn=1)}
+    a.commit(_manifest(1, txa, parts))
+    # idempotent re-commit of the same txn
+    assert a.commit(_manifest(1, txa, parts)).txn_id == txa
+    with pytest.raises(CommitConflict):
+        b.commit(_manifest(1, txb, parts))
+    cur = b.current_manifest()
+    assert cur.version == 1 and cur.txn_id == txa
+    # loser retries against the new current and lands v2
+    b.commit(_manifest(2, txb, parts, parent=1))
+    assert b.current_version() == 2
+
+
+def test_s3_cas_genuine_race_hits_412(moto_s3):
+    """Two threads release simultaneously onto the same manifest key:
+    exactly one PUT succeeds, the other takes S3's 412 path for real."""
+    _mk_bucket("race")
+    results: dict[str, bool] = {}
+    barrier = threading.Barrier(2)
+
+    def contend(tag: str):
+        lake = Lake("s3://race/lake")  # own connection per thread
+        final = lake._manifest_path(1)
+        barrier.wait()
+        results[tag] = lake._put_manifest_if_absent(
+            final, tag.encode(), f"txn{tag}0000000000"
+        )
+
+    threads = [threading.Thread(target=contend, args=(t,)) for t in ("A", "B")]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert sorted(results.values()) == [False, True], results
+    winner = [t for t, ok in results.items() if ok][0]
+    lake = Lake("s3://race/lake")
+    assert lake.filesystem.cat_file(lake._manifest_path(1)) == winner.encode()
+
+
+# -- full engine cycle over the wire -----------------------------------------
+
+
+def test_s3_lake_full_cycle(ray_session, moto_s3, tmp_path):
+    """apply ×3 → noop re-apply → compact → gc → time-travel → streaming
+    read → clone, every byte via the S3 REST API, state equal to a POSIX
+    reference lake replaying the same changelog."""
+    from radiant_portal_pipeline_ray.config import EngineConfig
+    from radiant_portal_pipeline_ray.pipelines.apply import CdcEngine
+    from radiant_portal_pipeline_ray.pipelines.maintenance import compact
+    from radiant_portal_pipeline_ray.sources.generator import (
+        ChangelogSpec,
+        generate_changelog,
+    )
+
+    _mk_bucket("lakes")
+    paths = generate_changelog(
+        str(tmp_path / "cl"),
+        ChangelogSpec(n_urls=500, n_events=2500, n_batches=3, seed=47),
+    )
+
+    def sorted_state(eng):
+        t = eng.snapshot_table()
+        return t.take(pc.sort_indices(t, sort_keys=[("url", "ascending")]))
+
+    posix = CdcEngine(str(tmp_path / "posix"), EngineConfig(n_parts=4))
+    for p in paths:
+        posix.apply([p])
+
+    s3_root = "s3://lakes/prod"
+    eng = CdcEngine(s3_root, EngineConfig(n_parts=4))
+    assert isinstance(eng.lake.filesystem, Boto3S3FileSystem)
+    for p in paths:
+        rep = eng.apply([p])
+    assert rep["version"] == 3
+    assert sorted_state(eng).equals(sorted_state(posix))
+
+    # watermark makes re-apply a no-op on the object store too
+    rep = eng.apply([paths[-1]])
+    assert rep.get("noop") or rep["rows_upserted"] == 0
+
+    # compact rewrites through Ray workers talking straight to S3
+    before = sorted_state(eng)
+    crep = compact(s3_root, EngineConfig(n_parts=4), min_files=1)
+    assert not crep["noop"]
+    assert sorted_state(eng).equals(before)
+
+    # gc prunes; a retained older version still time-travels
+    v_now = eng.lake.current_version()
+    eng.lake.gc_orphans(keep_versions=2, staging_age_s=0.0)
+    assert eng.lake.versions()[-1] == v_now
+    tt = eng.snapshot_table(version=eng.lake.versions()[0])
+    assert tt.num_rows > 0
+
+    # streaming Ray Data read of the snapshot
+    assert eng.read_snapshot().count() == before.num_rows
+
+    # instant clone within the store; clone evolves independently
+    clone = eng.lake.clone_to("lakes/fork")
+    cm = clone.current_manifest()
+    assert cm.version == v_now
+    forked = CdcEngine("s3://lakes/fork", EngineConfig(n_parts=4), lake=clone)
+    assert sorted_state(forked).equals(before)
