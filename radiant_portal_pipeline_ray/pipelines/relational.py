@@ -1866,10 +1866,16 @@ def q_heavy_hitter_tokens(sf_dir: str, s: int = 200, n_partitions: int = 32):
     cand_set = cand_t.filter(pc.not_equal(cand_t.column("token"), "")).column(
         "token"
     ).combine_chunks()
+    # broadcast once via plasma — NOT closure capture, which would re-ship
+    # the candidate array inside every serialized task (VERDICT r4 #5)
+    import ray as _ray
+
+    cand_ref = _ray.put(cand_set)
 
     def exact_counts(b: pa.Table) -> pa.Table:
+        cs = _ray.get(cand_ref)  # plasma-cached per node, zero-copy arrow
         toks = _tokens(b)
-        toks = toks.filter(pc.is_in(toks, value_set=cand_set))
+        toks = toks.filter(pc.is_in(toks, value_set=cs))
         g = (
             pa.table({"token": toks})
             .group_by("token")

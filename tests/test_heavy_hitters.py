@@ -38,3 +38,29 @@ def test_registered_sql_matches_default_s(ray_session):
     # guard: the registered oracle and the default s stay in sync (both 200)
     _, sql = QUERIES["q_heavy_hitter_tokens"]
     assert "* 200 >" in sql
+
+
+def test_candidate_set_is_plasma_broadcast(ray_session, monkeypatch):
+    """VERDICT r4 #5: the exact-recount stage must receive the candidate
+    set via ONE ray.put broadcast (plasma, fetched per node), never by
+    closure capture that re-ships the array inside every serialized task."""
+    import pyarrow as pa
+    import ray
+
+    put_payloads = []
+    orig_put = ray.put
+
+    def spy(obj, **kw):
+        put_payloads.append(obj)
+        return orig_put(obj, **kw)
+
+    monkeypatch.setattr(ray, "put", spy)
+    got = q_heavy_hitter_tokens(SF, s=50)
+    assert got.num_rows > 0
+    broadcasts = [
+        p
+        for p in put_payloads
+        if isinstance(p, (pa.ChunkedArray, pa.Array))
+        and pa.types.is_string(p.type)
+    ]
+    assert len(broadcasts) == 1, "candidate set must be ray.put exactly once"
