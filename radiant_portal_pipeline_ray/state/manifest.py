@@ -65,6 +65,25 @@ _MANIFEST_RE = re.compile(r"^manifest-v(\d{12})\.json$")
 _MEMORY_CAS_LOCK = threading.Lock()
 
 
+def _is_precondition_failure(e: Exception) -> bool:
+    """Did a conditional PUT lose its race? Matched across backends without
+    importing their SDKs: GCS surfaces 412 'conditionNotMet' (gcsfs
+    HttpError), Azure ResourceExistsError / 'BlobAlreadyExists'
+    (azure-core via adlfs), S3 'PreconditionFailed'."""
+    if type(e).__name__ == "ResourceExistsError":
+        return True
+    s = str(e)
+    return any(
+        tok in s
+        for tok in (
+            "PreconditionFailed",
+            "conditionNotMet",
+            "BlobAlreadyExists",
+            "412",
+        )
+    )
+
+
 class CommitConflict(Exception):
     """Another committer published this version first; rebuild and retry."""
 
@@ -483,9 +502,11 @@ class Lake:
           a real local path.
         - ``s3://``: conditional PUT with ``If-None-Match: *`` (S3 rejects
           with 412 PreconditionFailed if the key exists; strongly
-          consistent since 2020). GCS/Azure have equivalents
-          (``x-goog-if-generation-match: 0`` / ``If-None-Match: *``) —
-          wire them here when those backends are in play.
+          consistent since 2020).
+        - ``gs://``: creation-only generation precondition
+          (``ifGenerationMatch=0`` / ``x-goog-if-generation-match: 0``).
+        - ``az://``/``abfs://``: blob upload with ``overwrite=False``
+          (``If-None-Match: *`` → ResourceExistsError on conflict).
         - ``memory://``: a process-wide lock around exists+put.
           MemoryFileSystem state is per-process by construction, so the
           lock covers every writer that can possibly see the store.
@@ -505,6 +526,34 @@ class Lake:
                 return False
             except OSError as e:
                 if "PreconditionFailed" in str(e) or "412" in str(e):
+                    return False
+                raise
+        if proto in ("gs", "gcs"):
+            # GCS creation-only PUT: generation-match 0 means "only if no
+            # live generation exists" (the JSON API's ifGenerationMatch=0,
+            # wire header x-goog-if-generation-match: 0). gcsfs forwards
+            # the kwarg; a lost race surfaces as 412 / conditionNotMet.
+            try:
+                fs.pipe_file(final, data, if_generation_match=0)
+                return True
+            except FileExistsError:
+                return False
+            except Exception as e:  # gcsfs HttpError is not an OSError
+                if _is_precondition_failure(e):
+                    return False
+                raise
+        if proto in ("az", "abfs", "abfss", "adl"):
+            # Azure Blob creation-only PUT: upload with overwrite=False
+            # sends If-None-Match: * ; a lost race is ResourceExistsError
+            # (BlobAlreadyExists) from azure-core, which adlfs may or may
+            # not translate to FileExistsError depending on version.
+            try:
+                fs.pipe_file(final, data, overwrite=False)
+                return True
+            except FileExistsError:
+                return False
+            except Exception as e:
+                if _is_precondition_failure(e):
                     return False
                 raise
         if proto == "memory":

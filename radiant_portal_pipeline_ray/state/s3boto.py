@@ -68,8 +68,11 @@ class Boto3S3FileSystem(AbstractFileSystem):
         super().__init__(**kwargs)
         self.endpoint_url = endpoint_url or os.environ.get("AWS_ENDPOINT_URL")
         self.region_name = region_name or os.environ.get("AWS_REGION", "us-east-1")
-        self.key = key
-        self.secret = secret
+        # resolve explicit env creds NOW so __reduce__ ships a working
+        # config to Ray workers that lack the driver's env; left None
+        # (e.g. IAM instance roles), boto3 resolves in-worker as usual
+        self.key = key or os.environ.get("AWS_ACCESS_KEY_ID")
+        self.secret = secret or os.environ.get("AWS_SECRET_ACCESS_KEY")
         self.client_kwargs = dict(client_kwargs or {})
         self._client = None
         self._client_pid = None
