@@ -1643,8 +1643,15 @@ class CdcEngine:
         ``tests/test_snapshot_checksums.py``."""
         import ray.data as rd
 
-        from radiant_portal_pipeline_ray.stages.qa import partition_checksums
+        from radiant_portal_pipeline_ray.stages.qa import (
+            partition_checksums,
+            verify_checksum_fingerprint,
+        )
 
+        # refuse a prior built by a different hash implementation (polars
+        # upgrade): reusing its rows next to fresh ones would produce a
+        # table matching neither full recompute (ADVICE r4)
+        hash_fn = verify_checksum_fingerprint(prior)
         man_from = self.lake.read_manifest(prior_version)
         man_to = (
             self.lake.read_manifest(version)
@@ -1677,14 +1684,24 @@ class CdcEngine:
                 filter=~pc.field("deleted"),
                 filesystem=self.lake.pyarrow_fs(),
             )
-            fresh = partition_checksums(ds, "part", ["url", "lsn", "text"])
+            fresh = partition_checksums(
+                ds, "part", ["url", "lsn", "text"], hash_fn=hash_fn
+            )
             # a changed partition can become empty (all rows tombstoned):
             # it then has files but zero live rows and no checksum row —
             # matching the full recompute, which also emits no row for it
-        out = pa.concat_tables([prior_kept, fresh])
-        return out.take(
+        from radiant_portal_pipeline_ray.stages.qa import (
+            stamp_checksum_fingerprint,
+        )
+
+        out = pa.concat_tables(
+            [prior_kept.replace_schema_metadata(), fresh.replace_schema_metadata()]
+        )
+        out = out.take(
             pc.sort_indices(out, sort_keys=[("part", "ascending")])
         )
+        # re-stamp so the result is itself reusable as next round's prior
+        return stamp_checksum_fingerprint(out, hash_fn)
 
     def snapshot_table(
         self,

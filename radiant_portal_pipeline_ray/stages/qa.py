@@ -249,6 +249,88 @@ def snapshot_checks() -> list[QACheck]:
     ]
 
 
+def _row_fingerprint(key_arr, hash_fn: str):
+    """Per-row 64-bit content hash used by partition_checksums."""
+    if hash_fn == "md5":
+        from radiant_portal_pipeline_ray.stages.dedup import md5_hash64
+
+        return md5_hash64(key_arr)
+    import polars as pl
+
+    if isinstance(key_arr, pa.ChunkedArray):
+        key_arr = key_arr.combine_chunks()
+    return pl.from_arrow(key_arr).hash(seed=0xC0FFEE).to_numpy()
+
+
+#: canary probes hashed to fingerprint the checksum hash IMPLEMENTATION —
+#: the xx64 path is polars' hash, which is not contractually stable across
+#: polars versions (same caveat as functions/hashing.py's salt hash, which
+#: uses the manifest-persisted salt_hash_fingerprint the same way)
+_CHECKSUM_PROBES = (
+    "",
+    "a",
+    "abc|123",
+    "é中文/\U0001f310",
+    "graft-checksum-canary-0123456789",
+)
+
+
+def checksum_fingerprint(hash_fn: str = "xx64") -> list[int]:
+    """Fingerprint of the active checksum-hash implementation: the canary
+    probes' hashes. Two checksum tables are comparable iff their
+    fingerprints match — otherwise one side was built by a different
+    hash implementation (e.g. a polars upgrade changed xx64) and every
+    'mismatch' it reports would be spurious."""
+    import numpy as np
+
+    h = _row_fingerprint(pa.array(_CHECKSUM_PROBES, pa.string()), hash_fn)
+    return [int(x) for x in np.asarray(h, dtype=np.uint64).view(np.int64)]
+
+
+class ChecksumFingerprintMismatch(RuntimeError):
+    """A checksum table from a different hash implementation was offered
+    for reuse/comparison — recompute it with the current build instead."""
+
+
+def stamp_checksum_fingerprint(t: "pa.Table", hash_fn: str) -> "pa.Table":
+    import json
+
+    meta = dict(t.schema.metadata or {})
+    meta[b"checksum_hash_fn"] = hash_fn.encode()
+    meta[b"checksum_fingerprint"] = json.dumps(
+        checksum_fingerprint(hash_fn)
+    ).encode()
+    return t.replace_schema_metadata(meta)
+
+
+def verify_checksum_fingerprint(t: "pa.Table") -> str:
+    """Refuse a checksum table whose recorded hash implementation differs
+    from (or predates) the current build's. Returns the table's hash_fn.
+    Raises ChecksumFingerprintMismatch — the caller must recompute from
+    data rather than silently mix incomparable checksums (ADVICE r4)."""
+    import json
+
+    meta = t.schema.metadata or {}
+    if b"checksum_fingerprint" not in meta:
+        raise ChecksumFingerprintMismatch(
+            "checksum table carries no hash-implementation fingerprint "
+            "(built by an older build?) — recompute with "
+            "snapshot_checksums() before incremental reuse"
+        )
+    hash_fn = meta.get(b"checksum_hash_fn", b"xx64").decode()
+    recorded = json.loads(meta[b"checksum_fingerprint"])
+    current = checksum_fingerprint(hash_fn)
+    if recorded != current:
+        raise ChecksumFingerprintMismatch(
+            f"checksum table was built with a different {hash_fn!r} hash "
+            "implementation (canary fingerprint differs — e.g. a polars "
+            "upgrade); its rows are not comparable to this build's. "
+            "Recompute with snapshot_checksums(), or use hash_fn='md5' "
+            "for version-stable checksums."
+        )
+    return hash_fn
+
+
 def partition_checksums(
     ds: Dataset, group_col: str, key_cols: list[str], hash_fn: str = "xx64"
 ) -> "pa.Table":
@@ -271,17 +353,10 @@ def partition_checksums(
     import numpy as np
     import pyarrow.compute as pc
 
-    from radiant_portal_pipeline_ray.stages.dedup import md5_hash64
     from radiant_portal_pipeline_ray.stages.taskshuffle import exchange_group
 
     def _fingerprint(key_arr):
-        if hash_fn == "md5":
-            return md5_hash64(key_arr)
-        import polars as pl
-
-        if isinstance(key_arr, pa.ChunkedArray):
-            key_arr = key_arr.combine_chunks()
-        return pl.from_arrow(key_arr).hash(seed=0xC0FFEE).to_numpy()
+        return _row_fingerprint(key_arr, hash_fn)
 
     def partial(b: pa.Table) -> pa.Table:
         if b.num_rows == 0:
@@ -342,13 +417,17 @@ def partition_checksums(
     out = exchange_group(partials, [group_col], 8, final)
     t = pa.Table.from_pylist(out.take_all())  # one row per group
     if t.num_rows == 0:
-        return pa.table(
-            {
-                group_col: pa.array([], pa.int64()),
-                "n_rows": pa.array([], pa.int64()),
-                "checksum_lo": pa.array([], pa.int64()),
-                "checksum_hi": pa.array([], pa.int64()),
-            }
+        return stamp_checksum_fingerprint(
+            pa.table(
+                {
+                    group_col: pa.array([], pa.int64()),
+                    "n_rows": pa.array([], pa.int64()),
+                    "checksum_lo": pa.array([], pa.int64()),
+                    "checksum_hi": pa.array([], pa.int64()),
+                }
+            ),
+            hash_fn,
         )
     t = pa.table({c: pc.cast(t.column(c), pa.int64()) for c in t.column_names})
-    return t.take(pc.sort_indices(t, sort_keys=[(group_col, "ascending")]))
+    t = t.take(pc.sort_indices(t, sort_keys=[(group_col, "ascending")]))
+    return stamp_checksum_fingerprint(t, hash_fn)

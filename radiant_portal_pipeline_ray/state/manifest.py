@@ -679,20 +679,70 @@ class Lake:
             os.fsync(f.fileno())
         os.replace(tmp, path)
 
+    #: a tags.lock older than this is assumed crashed and broken open
+    _TAG_LOCK_STALE_S = 15.0
+
+    def _tag_lock(self, timeout_s: float = 10.0):
+        """Advisory mutex over tags.json read-modify-write AND gc's
+        manifest-pruning phase, built on the same put-if-absent CAS as
+        manifest commits (ADVICE r4: two concurrent tag writes silently
+        dropped one; set_tag's versions() check raced gc pruning). A lock
+        left by a crashed process is broken after _TAG_LOCK_STALE_S."""
+        import contextlib
+
+        lake = self
+
+        @contextlib.contextmanager
+        def _held():
+            lock_path = lake._join(lake.manifest_dir, "tags.lock")
+            txn = uuid.uuid4().hex[:16]
+            deadline = time.time() + timeout_s
+            while not lake._put_manifest_if_absent(
+                lock_path, txn.encode(), txn
+            ):
+                age = time.time() - lake._mtime(lock_path, default=time.time())
+                if age > lake._TAG_LOCK_STALE_S:
+                    try:  # stale holder crashed: break the lock and retry
+                        lake._remove(lock_path)
+                    except (FileNotFoundError, OSError):
+                        pass
+                    continue
+                if time.time() > deadline:
+                    raise TimeoutError(
+                        f"tags.lock held for {age:.1f}s; another tag/gc "
+                        "operation is in flight"
+                    )
+                time.sleep(0.05)
+            try:
+                yield
+            finally:
+                try:
+                    lake._remove(lock_path)
+                except (FileNotFoundError, OSError):
+                    pass
+
+        return _held()
+
     def set_tag(self, name: str, version: int) -> None:
         """Pin ``name`` to ``version``. A tagged version is exempt from
         gc_orphans' manifest pruning, so its snapshot (and every data file
-        it references) stays readable until the tag is deleted."""
-        if version not in self.versions():
-            raise FileNotFoundError(f"version {version} is not a retained manifest")
-        t = self.tags()
-        t[name] = int(version)
-        self._write_tags(t)
+        it references) stays readable until the tag is deleted. The
+        existence check runs under the tag lock, which gc's pruning phase
+        also holds — so a tag can never land on a just-pruned manifest."""
+        with self._tag_lock():
+            if version not in self.versions():
+                raise FileNotFoundError(
+                    f"version {version} is not a retained manifest"
+                )
+            t = self.tags()
+            t[name] = int(version)
+            self._write_tags(t)
 
     def delete_tag(self, name: str) -> None:
-        t = self.tags()
-        t.pop(name, None)
-        self._write_tags(t)
+        with self._tag_lock():
+            t = self.tags()
+            t.pop(name, None)
+            self._write_tags(t)
 
     def resolve_tag(self, name: str) -> int:
         t = self.tags()
@@ -725,14 +775,18 @@ class Lake:
         """
         removed: list[str] = []
         now = time.time()
-        vs = self.versions()
-        tagged = set(self.tags().values())  # tag-pinned versions never prune
-        for v in vs[:-keep_versions] if keep_versions > 0 else vs[:-1]:
-            if v in tagged:
-                continue
-            path = self._manifest_path(v)
-            self._remove(path)
-            removed.append(f"manifests/manifest-v{v:012d}.json")
+        # manifest pruning runs under the tag lock: tags are re-read inside
+        # it, and set_tag validates its target inside the same lock — no
+        # window where a tag lands on a just-pruned manifest (ADVICE r4)
+        with self._tag_lock():
+            vs = self.versions()
+            tagged = set(self.tags().values())  # tag-pinned never prune
+            for v in vs[:-keep_versions] if keep_versions > 0 else vs[:-1]:
+                if v in tagged:
+                    continue
+                path = self._manifest_path(v)
+                self._remove(path)
+                removed.append(f"manifests/manifest-v{v:012d}.json")
         referenced: set[str] = set()
         for v in self.versions():
             man = self.read_manifest(v)

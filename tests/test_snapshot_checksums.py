@@ -139,3 +139,49 @@ def test_incremental_reuses_unchanged_partitions(tmp_path, ray_session):
     n_sentinel = (inc2["checksum_lo"] == -1).sum()
     assert n_sentinel >= len(inc2) - 2  # all but the touched partition(s)
     assert n_sentinel < len(inc2)  # and the touched one WAS recomputed
+
+
+def test_checksum_fingerprint_stamped_and_verified(tmp_path, ray_session):
+    """ADVICE r4: checksum tables carry a hash-implementation canary; a
+    prior built by a DIFFERENT implementation (e.g. polars upgrade changed
+    xx64) is refused for incremental reuse instead of silently mixed."""
+    import json
+
+    import pytest
+
+    from radiant_portal_pipeline_ray.stages.qa import (
+        ChecksumFingerprintMismatch,
+        checksum_fingerprint,
+        verify_checksum_fingerprint,
+    )
+
+    cl = str(tmp_path / "cl")
+    paths = generate_changelog(
+        cl, ChangelogSpec(n_urls=300, n_events=1200, n_batches=2, seed=7)
+    )
+    eng = CdcEngine(str(tmp_path / "lake"), EngineConfig(n_parts=4))
+    eng.apply(paths[:1])
+    prior = eng.snapshot_checksums(version=1)
+    meta = prior.schema.metadata
+    assert json.loads(meta[b"checksum_fingerprint"]) == checksum_fingerprint()
+    assert verify_checksum_fingerprint(prior) == "xx64"
+
+    eng.apply(paths[1:])
+
+    # matching fingerprint: incremental reuse works and stays stamped
+    inc = eng.snapshot_checksums_incremental(1, prior)
+    assert inc.schema.metadata and b"checksum_fingerprint" in inc.schema.metadata
+    assert _df(inc).equals(_df(eng.snapshot_checksums()))
+
+    # tampered fingerprint (simulated upgrade): refused, not mixed
+    bad_meta = dict(meta)
+    bad_meta[b"checksum_fingerprint"] = json.dumps([1, 2, 3, 4, 5]).encode()
+    with pytest.raises(ChecksumFingerprintMismatch):
+        eng.snapshot_checksums_incremental(1, prior.replace_schema_metadata(bad_meta))
+
+    # unstamped prior (older build): also refused
+    with pytest.raises(ChecksumFingerprintMismatch):
+        eng.snapshot_checksums_incremental(1, prior.replace_schema_metadata())
+
+    # md5 is the version-stable path and fingerprints independently
+    assert checksum_fingerprint("md5") != checksum_fingerprint("xx64")
