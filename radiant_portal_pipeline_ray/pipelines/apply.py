@@ -1289,12 +1289,20 @@ class CdcEngine:
         if self.cfg.run_qa:
             from radiant_portal_pipeline_ray.stages.qa import (
                 cross_exclusive,
+                generate_checks,
                 run_checks,
                 snapshot_checks,
             )
 
-            qa = run_checks(self.read_snapshot(), snapshot_checks())
             man = self.lake.current_manifest()
+            checks = snapshot_checks()
+            have = {c.name for c in checks}
+            # pattern-driven coverage of the committed schema: any *_frac /
+            # *_count / *_id column added later is auto-checked (VERDICT #7)
+            checks += [
+                c for c in generate_checks(man.schema) if c.name not in have
+            ]
+            qa = run_checks(self.read_snapshot(), checks)
             files = [
                 self.lake.abspath(f)
                 for st in man.partitions.values()

