@@ -307,8 +307,11 @@ class CdcEngine:
             return report
         delta = None
         for _, (sch, group_paths) in sorted(file_schemas.items()):
+            # prune incoming text at the decode (recomputed from html)
+            cols = [c for c in sch.names if c != "text"] if "text" in sch.names else None
             ds = rd.read_parquet(
-                group_paths, filter=filt, override_num_blocks=read_blocks
+                group_paths, filter=filt, columns=cols,
+                override_num_blocks=read_blocks,
             ).map_batches(
                 normalizer,
                 batch_format="pyarrow",
@@ -815,8 +818,12 @@ class CdcEngine:
             split_buckets = n_groups
         task = split_task.options(num_returns=1 + split_buckets)
         min_lsn = min_wm if current else None
+        # changelog reads prune the incoming text column at the decode —
+        # the normalizer recomputes text from html unconditionally, so the
+        # ~40%-of-bytes text column is pure wasted I/O (VERDICT r4 #6)
         returns = [
-            task.remote(ch, normalizer, split_buckets, min_lsn) for ch in chunks
+            task.remote(ch, normalizer, split_buckets, min_lsn, None, ("text",))
+            for ch in chunks
         ]
         if mig_chunks:
             caster = make_snapshot_caster(
@@ -998,8 +1005,10 @@ class CdcEngine:
             # INSIDE the transform, so raw reads must not be unioned)
             stats = None
             for _, (sch, group_paths) in sorted(file_schemas.items()):
+                cols = [c for c in sch.names if c != "text"] if "text" in sch.names else None
                 ds = rd.read_parquet(
-                    group_paths, filter=filt, override_num_blocks=read_blocks
+                    group_paths, filter=filt, columns=cols,
+                    override_num_blocks=read_blocks,
                 )
                 st_ds = build_exchange(ds, normalizer, shards, n_shards)
                 stats = st_ds if stats is None else stats.union(st_ds)
