@@ -201,3 +201,119 @@ def test_image_resize_stage_with_real_resampler(ray_session):
             encode_bmp(nn_resample(im, exp_w, exp_h))
         ).hexdigest()
         assert row["resized_sig"] == exp_sig
+
+
+# ---------------------------------------------------------------------------
+# PNG codec (stdlib zlib + numpy; second real override, all 5 predictors)
+# ---------------------------------------------------------------------------
+
+from radiant_portal_pipeline_ray.stages.pngcodec import (  # noqa: E402
+    PngFeatureStage,
+    PngResizeStage,
+    decode_png,
+    encode_png,
+)
+
+
+def test_png_roundtrip_every_filter_type():
+    """encode(filter=f) → decode is pixel-exact for every predictor
+    (None/Sub/Up/Average/Paeth), RGB and RGBA, odd sizes included."""
+    rng = np.random.default_rng(23)
+    for ch in (3, 4):
+        for h, w in [(1, 1), (3, 7), (17, 5), (32, 32)]:
+            im = rng.integers(0, 256, size=(h, w, ch), dtype=np.uint8)
+            for f in range(5):
+                back = decode_png(encode_png(im, filter_type=f))
+                np.testing.assert_array_equal(back, im, err_msg=f"f={f} ch={ch}")
+
+
+def test_png_rejects_unsupported():
+    import pytest
+
+    with pytest.raises(ValueError):
+        decode_png(b"not a png at all")
+    # palette / 16-bit variants are declared out of the pure-python subset
+    rng = np.random.default_rng(1)
+    im = rng.integers(0, 256, size=(4, 4, 3), dtype=np.uint8)
+    payload = bytearray(encode_png(im))
+    payload[8 + 8 + 9] = 3  # IHDR color type → palette
+    with pytest.raises(ValueError):
+        decode_png(bytes(payload))
+
+
+def test_image_feature_stage_with_real_png_decoder(ray_session):
+    rng = np.random.default_rng(29)
+    imgs = [
+        rng.integers(0, 256, size=(int(h), int(w), 3), dtype=np.uint8)
+        for h, w in rng.integers(3, 33, size=(5, 2))
+    ]
+    # mixed filter types in one batch — the decoder must not care
+    payloads = [encode_png(im, filter_type=i % 5) for i, im in enumerate(imgs)]
+    tbl = pa.table(
+        {
+            "media_id": pa.array(range(len(imgs)), type=pa.int64()),
+            "payload": pa.array(payloads, pa.binary()),
+            "mime": pa.array(["image/png"] * len(imgs)),
+            "width": pa.array([im.shape[1] for im in imgs], pa.int32()),
+            "height": pa.array([im.shape[0] for im in imgs], pa.int32()),
+        }
+    )
+    out = (
+        rd.from_arrow(tbl)
+        .map_batches(PngFeatureStage(), batch_size=2, batch_format="pyarrow")
+        .sort("media_id")
+        .take_all()
+    )
+    for row, im in zip(out, imgs):
+        f = np.asarray(row["features"])
+        np.testing.assert_allclose(
+            f[:3], im.reshape(-1, 3).mean(axis=0) / 255.0, rtol=0, atol=1e-12
+        )
+        assert f[3] == im.shape[1] / 1000.0 and f[4] == im.shape[0] / 1000.0
+        assert f[5] == 0.0  # RGB: no alpha
+        assert "payload" not in row
+
+
+def test_png_alpha_fraction_feature():
+    rng = np.random.default_rng(31)
+    im = rng.integers(0, 256, size=(10, 10, 4), dtype=np.uint8)
+    im[:, :, 3] = 255
+    im[:5, :, 3] = 10  # half the pixels translucent
+    f = PngFeatureStage()._decode_stub(encode_png(im, filter_type=4))
+    assert f[5] == 0.5
+
+
+def test_image_resize_stage_with_real_png_resampler(ray_session):
+    from radiant_portal_pipeline_ray.stages.bmpcodec import nn_resample as _nn
+
+    rng = np.random.default_rng(37)
+    imgs = [
+        rng.integers(0, 256, size=(int(h), int(w), 3), dtype=np.uint8)
+        for h, w in [(40, 20), (9, 31)]
+    ]
+    tbl = pa.table(
+        {
+            "media_id": pa.array(range(len(imgs)), type=pa.int64()),
+            "payload": pa.array(
+                [encode_png(im, filter_type=2) for im in imgs], pa.binary()
+            ),
+            "mime": pa.array(["image/png"] * len(imgs)),
+            "width": pa.array([im.shape[1] for im in imgs], pa.int32()),
+            "height": pa.array([im.shape[0] for im in imgs], pa.int32()),
+        }
+    )
+    out = (
+        rd.from_arrow(tbl)
+        .map_batches(PngResizeStage(target_w=16, target_h=16), batch_format="pyarrow")
+        .sort("media_id")
+        .take_all()
+    )
+    for row, im in zip(out, imgs):
+        h, w, _ = im.shape
+        long_side = max(w, h)
+        exp_w, exp_h = max(1, w * 16 // long_side), max(1, h * 16 // long_side)
+        assert (row["out_w"], row["out_h"]) == (exp_w, exp_h)
+        exp_sig = hashlib.md5(
+            encode_png(_nn(im, exp_w, exp_h))
+        ).hexdigest()
+        assert row["resized_sig"] == exp_sig
