@@ -108,4 +108,13 @@ class EngineConfig:
     #: ``report['qa']`` and failures are data, not exceptions.
     run_qa: bool = False
 
+    # --- chaos (tests only) ----------------------------------------------
+    #: worker-crash injection point: ``("scout"|"merge", sentinel_dir)``.
+    #: The first matching task after the sentinel dir is empty hard-exits
+    #: its worker process (a REAL worker death — Ray's task retry, the
+    #: deterministic staged-file names and the manifest CAS must absorb it).
+    #: See chaos.py and tests/test_chaos.py. Always ``None`` in production;
+    #: wired on the default task exchange.
+    fault_inject: tuple | None = None
+
     extra: dict = field(default_factory=dict)

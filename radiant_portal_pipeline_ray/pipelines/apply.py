@@ -822,7 +822,10 @@ class CdcEngine:
         # the normalizer recomputes text from html unconditionally, so the
         # ~40%-of-bytes text column is pure wasted I/O (VERDICT r4 #6)
         returns = [
-            task.remote(ch, normalizer, split_buckets, min_lsn, None, ("text",))
+            task.remote(
+                ch, normalizer, split_buckets, min_lsn, None, ("text",),
+                fault_inject=cfg.fault_inject,
+            )
             for ch in chunks
         ]
         if mig_chunks:
@@ -895,6 +898,7 @@ class CdcEngine:
             local_carry_files=local_carry,
             union_schema=union_schema,
             filesystem=lake_fs,
+            fault_inject=cfg.fault_inject,
         )
         # changed parts that shuffled no rows (local-carry-only partitions of
         # a migrating domain) still need a merge pass from an empty delta

@@ -77,6 +77,7 @@ class MergeKernel:
         local_carry_files: dict[int, list[str]] | None = None,
         union_schema: pa.Schema | None = None,
         filesystem=None,
+        fault_inject: tuple | None = None,
     ):
         self.txn_id = txn_id
         self.staging_dir = staging_dir
@@ -92,6 +93,10 @@ class MergeKernel:
         #: ships to merge tasks, so the fs must be picklable (LocalFileSystem
         #: and real object-store fs classes are; memory:// is driver-only).
         self.filesystem = filesystem
+        #: tests only — ``("merge", dir)`` kills the first merge worker ONCE,
+        #: after it has staged a partition's files (the partial-write case a
+        #: retry must overwrite); see chaos.maybe_die_once.
+        self.fault_inject = fault_inject
 
     def merge_partition(self, group: pa.Table, part: int) -> dict:
         """One partition's event rows (+ shuffled carried rows, if routing is
@@ -290,6 +295,14 @@ class MergeKernel:
                 total_bytes += int(self.filesystem.info(path)["size"])
             files.append(fn)
             stats.append(file_stats(chunk))
+
+        if self.fault_inject is not None:
+            # die AFTER staging this partition's files: the retried task
+            # must overwrite the partial staged output (deterministic
+            # txn/part/seq names), not duplicate it
+            from radiant_portal_pipeline_ray.chaos import maybe_die_once
+
+            maybe_die_once(self.fault_inject, "merge")
 
         return {
             "part": part,

@@ -109,10 +109,14 @@ def split_task(
     min_lsn: int | None,
     filesystem=None,
     exclude_cols: tuple = (),
+    fault_inject: tuple | None = None,
 ):
     """Read assigned row groups → transform → split by bucket. Returns
     ``(stats, bucket_0, ..., bucket_{n-1})`` — launch with
     ``.options(num_returns=n_buckets + 1)``. Empty buckets return None.
+
+    ``fault_inject`` (tests only): ``("scout", dir)`` makes the first such
+    task hard-kill its worker once — see ``chaos.maybe_die_once``.
 
     ``min_lsn`` enables row-group pruning on lsn max statistics (resume /
     replay-from-backlog rounds where most of the tail is pre-watermark);
@@ -125,6 +129,9 @@ def split_task(
     scout speedup at 2M events). The caster path passes nothing: carried
     snapshot rows keep their committed text verbatim.
     """
+    from radiant_portal_pipeline_ray.chaos import maybe_die_once
+
+    maybe_die_once(fault_inject, "scout")
     by_file: dict[str, list[int]] = {}
     for p, rg in units:
         by_file.setdefault(p, []).append(rg)
