@@ -2682,3 +2682,289 @@ def q_unpivot_event_values(sf_dir: str):
     return wide.map_batches(melt, batch_format="pyarrow").sort(
         ["user_id", "event_type"]
     )
+
+
+# ---------------------------------------------------------------------------
+# Window-function completion: NTILE / LEAD / PERCENT_RANK+CUME_DIST / a
+# bounded ROWS frame. Same execution shape as q_running_total: keys
+# co-locate once through the keyed task exchange, then EVERY window in a
+# bucket is computed by one lexsort + a handful of vectorized numpy passes
+# (prefix sums, run-boundary scans) — no per-key Python, no second shuffle.
+# The partitioning assumption each kernel relies on: a window PARTITION BY
+# key never spans exchange buckets (exchange_group hashes on exactly that
+# key), so per-group offsets/counts computed inside a bucket are global.
+# ref: the reference computes its ranked/windowed shapes in StarRocks SQL
+#      (e.g. row_number picks in germline variant staging); here each is a
+#      first-class distributed kernel.
+# ---------------------------------------------------------------------------
+def _group_offsets(keys: np.ndarray):
+    """(starts, lens, start_abs, pos): per-row group geometry for a sorted
+    key column — the shared scaffolding of every window kernel below."""
+    n = len(keys)
+    first = np.empty(n, dtype=bool)
+    first[0] = True
+    first[1:] = keys[1:] != keys[:-1]
+    starts = np.flatnonzero(first)
+    lens = np.diff(np.append(starts, n))
+    start_abs = np.repeat(starts, lens)
+    pos = np.arange(n) - start_abs
+    return starts, lens, start_abs, pos
+
+
+@_register(
+    "q_ntile_user_quartiles",
+    """
+    SELECT event_id, user_id,
+           CAST(NTILE(4) OVER (
+             PARTITION BY user_id ORDER BY value, event_id) AS BIGINT)
+             AS quartile
+    FROM events
+    ORDER BY user_id, event_id
+    """,
+)
+def q_ntile_user_quartiles(sf_dir: str, n_partitions: int = 64):
+    """NTILE(k): first (n % k) tiles get ceil(n/k) rows, the rest floor —
+    computed from (pos, n) per row with two integer divisions."""
+    ev = read_parquet_clean(
+        _pq(sf_dir, "events"), columns=["event_id", "user_id", "value"]
+    )
+    k = 4
+
+    def ntile(group: pa.Table) -> pa.Table:
+        u = group.column("user_id").to_numpy(zero_copy_only=False)
+        v = group.column("value").to_numpy(zero_copy_only=False)
+        eid = group.column("event_id").to_numpy(zero_copy_only=False)
+        if len(u) == 0:
+            return pa.table(
+                {
+                    "event_id": pa.array([], pa.int64()),
+                    "user_id": pa.array([], pa.int64()),
+                    "quartile": pa.array([], pa.int64()),
+                }
+            )
+        order = np.lexsort((eid, v, u))
+        u, eid = u[order], eid[order]
+        _, lens, _, pos = _group_offsets(u)
+        n = np.repeat(lens, lens)
+        base, rem = n // k, n % k
+        fat = rem * (base + 1)  # rows covered by the (base+1)-sized tiles
+        tile = np.where(
+            pos < fat,
+            pos // (base + 1),
+            rem + (pos - fat) // np.maximum(base, 1),
+        ) + 1
+        return pa.table(
+            {
+                "event_id": pa.array(eid, type=pa.int64()),
+                "user_id": pa.array(u, type=pa.int64()),
+                "quartile": pa.array(tile, type=pa.int64()),
+            }
+        )
+
+    from radiant_portal_pipeline_ray.stages.taskshuffle import exchange_group
+
+    return exchange_group(ev, ["user_id"], n_partitions, ntile).sort(
+        ["user_id", "event_id"]
+    )
+
+
+@_register(
+    "q_lead_next_event",
+    """
+    SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+           LEAD(epoch_us(ts)) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id) - epoch_us(ts)
+             AS next_gap_us,
+           LEAD(event_type) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+    FROM events
+    ORDER BY user_id, ts_us, event_id
+    """,
+)
+def q_lead_next_event(sf_dir: str, n_partitions: int = 64):
+    """LEAD over both an integer and a string column (NULL at each key's
+    last row) — the forward twin of q_event_gaps' LAG."""
+    ev = read_parquet_clean(
+        _pq(sf_dir, "events"),
+        columns=["event_id", "user_id", "ts", "event_type"],
+    )
+
+    def lead(group: pa.Table) -> pa.Table:
+        u = group.column("user_id").to_numpy(zero_copy_only=False)
+        ts = pc.cast(group.column("ts"), pa.int64()).to_numpy(zero_copy_only=False)
+        eid = group.column("event_id").to_numpy(zero_copy_only=False)
+        if len(u) == 0:
+            return pa.table(
+                {
+                    "event_id": pa.array([], pa.int64()),
+                    "user_id": pa.array([], pa.int64()),
+                    "ts_us": pa.array([], pa.int64()),
+                    "next_gap_us": pa.array([], pa.int64()),
+                    "next_type": pa.array([], pa.string()),
+                }
+            )
+        order = np.lexsort((eid, ts, u))
+        u, ts, eid = u[order], ts[order], eid[order]
+        n = len(u)
+        last = np.empty(n, dtype=bool)
+        last[-1] = True
+        last[:-1] = u[1:] != u[:-1]
+        gap = np.empty(n, dtype=np.int64)
+        gap[-1] = 0
+        gap[:-1] = ts[1:] - ts[:-1]
+        et_sorted = group.column("event_type").take(pa.array(order))
+        shifted = et_sorted.take(
+            pa.array(np.minimum(np.arange(n) + 1, n - 1))
+        )
+        next_type = pc.if_else(
+            pa.array(~last), shifted, pa.scalar(None, pa.string())
+        )
+        return pa.table(
+            {
+                "event_id": pa.array(eid, type=pa.int64()),
+                "user_id": pa.array(u, type=pa.int64()),
+                "ts_us": pa.array(ts, type=pa.int64()),
+                "next_gap_us": pa.array(gap, type=pa.int64(), mask=last),
+                "next_type": next_type,
+            }
+        )
+
+    from radiant_portal_pipeline_ray.stages.taskshuffle import exchange_group
+
+    return exchange_group(ev, ["user_id"], n_partitions, lead).sort(
+        ["user_id", "ts_us", "event_id"]
+    )
+
+
+@_register(
+    "q_price_percent_ranks",
+    """
+    SELECT o_orderkey, o_custkey,
+           CAST(FLOOR(PERCENT_RANK() OVER (
+             PARTITION BY o_custkey ORDER BY o_totalprice) * 10000)
+             AS BIGINT) AS pr_e4,
+           CAST(FLOOR(CUME_DIST() OVER (
+             PARTITION BY o_custkey ORDER BY o_totalprice) * 10000)
+             AS BIGINT) AS cd_e4
+    FROM orders
+    ORDER BY o_custkey, o_orderkey
+    """,
+)
+def q_price_percent_ranks(sf_dir: str, n_partitions: int = 64):
+    """PERCENT_RANK ((rank-1)/(n-1), gaps-rank over ties, 0 for n=1) and
+    CUME_DIST (rows_le/n) in one pass. Ties share a rank, so the kernel
+    tracks VALUE-RUN boundaries, not just row positions. Both engines
+    evaluate the identical float64 expression before FLOOR — the e4
+    fixed-point is a floor of the same double, not a re-computation."""
+    orders = read_parquet_clean(
+        _pq(sf_dir, "orders"),
+        columns=["o_orderkey", "o_custkey", "o_totalprice"],
+    )
+
+    def ranks(group: pa.Table) -> pa.Table:
+        cust = group.column("o_custkey").to_numpy(zero_copy_only=False)
+        price = group.column("o_totalprice").to_numpy(zero_copy_only=False)
+        okey = group.column("o_orderkey").to_numpy(zero_copy_only=False)
+        if len(cust) == 0:
+            return pa.table(
+                {
+                    "o_orderkey": pa.array([], pa.int64()),
+                    "o_custkey": pa.array([], pa.int64()),
+                    "pr_e4": pa.array([], pa.int64()),
+                    "cd_e4": pa.array([], pa.int64()),
+                }
+            )
+        order = np.lexsort((okey, price, cust))
+        cust, price, okey = cust[order], price[order], okey[order]
+        n_rows = len(cust)
+        _, lens, start_abs, pos = _group_offsets(cust)
+        n = np.repeat(lens, lens)
+        # value-run boundaries within each customer's ordered prices
+        new_run = np.empty(n_rows, dtype=bool)
+        new_run[0] = True
+        new_run[1:] = (cust[1:] != cust[:-1]) | (price[1:] != price[:-1])
+        run_start = np.maximum.accumulate(
+            np.where(new_run, np.arange(n_rows), 0)
+        )
+        run_id = np.cumsum(new_run) - 1
+        run_last = np.full(run_id[-1] + 1, n_rows - 1, dtype=np.int64)
+        run_last[run_id[:-1][new_run[1:]] ] = np.flatnonzero(new_run[1:])
+        rank = run_start - start_abs + 1  # gaps-rank: first row of the run
+        rows_le = run_last[run_id] - start_abs + 1
+        pr = np.where(n > 1, (rank - 1) / np.maximum(n - 1, 1), 0.0)
+        cd = rows_le / n
+        return pa.table(
+            {
+                "o_orderkey": pa.array(okey, type=pa.int64()),
+                "o_custkey": pa.array(cust, type=pa.int64()),
+                "pr_e4": pa.array(
+                    np.floor(pr * 10000).astype(np.int64), type=pa.int64()
+                ),
+                "cd_e4": pa.array(
+                    np.floor(cd * 10000).astype(np.int64), type=pa.int64()
+                ),
+            }
+        )
+
+    from radiant_portal_pipeline_ray.stages.taskshuffle import exchange_group
+
+    return exchange_group(orders, ["o_custkey"], n_partitions, ranks).sort(
+        ["o_custkey", "o_orderkey"]
+    )
+
+
+@_register(
+    "q_moving_sum3",
+    """
+    SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+           CAST(SUM(CAST(ROUND(value*100) AS BIGINT)) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS BIGINT) AS mov3_c
+    FROM events
+    ORDER BY user_id, ts_us, event_id
+    """,
+)
+def q_moving_sum3(sf_dir: str, n_partitions: int = 64):
+    """Bounded ROWS frame (2 PRECEDING..CURRENT): the frame sum is a
+    difference of two exclusive-prefix-sum reads, with the frame's lower
+    edge clamped to the key's first row — integer cents, order-exact."""
+    ev = read_parquet_clean(
+        _pq(sf_dir, "events"), columns=["event_id", "user_id", "ts", "value"]
+    )
+
+    def moving(group: pa.Table) -> pa.Table:
+        u = group.column("user_id").to_numpy(zero_copy_only=False)
+        ts = pc.cast(group.column("ts"), pa.int64()).to_numpy(zero_copy_only=False)
+        eid = group.column("event_id").to_numpy(zero_copy_only=False)
+        cents = _to_cents(group.column("value")).to_numpy(zero_copy_only=False)
+        if len(u) == 0:
+            return pa.table(
+                {
+                    "event_id": pa.array([], pa.int64()),
+                    "user_id": pa.array([], pa.int64()),
+                    "ts_us": pa.array([], pa.int64()),
+                    "mov3_c": pa.array([], pa.int64()),
+                }
+            )
+        order = np.lexsort((eid, ts, u))
+        u, ts, eid, cents = u[order], ts[order], eid[order], cents[order]
+        n = len(u)
+        _, _, start_abs, _ = _group_offsets(u)
+        prefix = np.concatenate(([0], np.cumsum(cents)))  # exclusive
+        idx = np.arange(n)
+        lo = np.maximum(idx - 2, start_abs)
+        mov = prefix[idx + 1] - prefix[lo]
+        return pa.table(
+            {
+                "event_id": pa.array(eid, type=pa.int64()),
+                "user_id": pa.array(u, type=pa.int64()),
+                "ts_us": pa.array(ts, type=pa.int64()),
+                "mov3_c": pa.array(mov, type=pa.int64()),
+            }
+        )
+
+    from radiant_portal_pipeline_ray.stages.taskshuffle import exchange_group
+
+    return exchange_group(ev, ["user_id"], n_partitions, moving).sort(
+        ["user_id", "ts_us", "event_id"]
+    )
