@@ -2968,3 +2968,128 @@ def q_moving_sum3(sf_dir: str, n_partitions: int = 64):
     return exchange_group(ev, ["user_id"], n_partitions, moving).sort(
         ["user_id", "ts_us", "event_id"]
     )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q3 shape: 3-table star filter-join → grouped revenue → global top-10.
+# Execution: BUILDING customers broadcast as a semi filter onto orders (the
+# dimension side never shuffles), date-pruned orders hash-partition-join the
+# shipdate-pruned fact, revenue folds per orderkey with per-batch partial
+# combining, and the top-10 is a per-batch prune (≤10 rows leave any batch)
+# + one single-block final pick — the full grouped result never sorts or
+# co-locates. Revenue is per-row fixed-point BIGINT before summing, so both
+# engines are order-of-summation exact.
+# ref: the chained enrichment star-join family (J4/J5,
+#      germline_snv_occurrence_insert_partition_delta.sql) with a ranked
+#      LIMIT head like the reference's ranked variant picks.
+# ---------------------------------------------------------------------------
+_Q3_CUTOFF = "1998-06-01T00:00:00"
+
+
+@_register(
+    "q3_shipping_priority",
+    f"""
+    SELECT l_orderkey,
+           CAST(SUM(CAST(ROUND(l_extendedprice*(1-l_discount)*10000) AS BIGINT))
+             AS BIGINT) AS revenue_e4,
+           epoch_us(o_orderdate) AS orderdate_us
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '{_Q3_CUTOFF.replace("T", " ")}'
+      AND l_shipdate  > TIMESTAMP '{_Q3_CUTOFF.replace("T", " ")}'
+    GROUP BY l_orderkey, o_orderdate
+    ORDER BY revenue_e4 DESC, orderdate_us, l_orderkey
+    LIMIT 10
+    """,
+)
+def q3_shipping_priority(sf_dir: str, k: int = 10):
+    cutoff = pa.scalar(np.datetime64(_Q3_CUTOFF, "us"))
+
+    building = read_parquet_clean(
+        _pq(sf_dir, "customer"),
+        columns=["c_custkey", "c_mktsegment"],
+        filter=pc.field("c_mktsegment") == "BUILDING",
+    ).select_columns(["c_custkey"])
+    key_set = pa.table(
+        {"c_custkey": pa.array(sorted(building.unique("c_custkey")), pa.int64())}
+    )
+
+    orders = read_parquet_clean(
+        _pq(sf_dir, "orders"),
+        columns=["o_orderkey", "o_custkey", "o_orderdate"],
+        filter=pc.field("o_orderdate") < cutoff,
+    ).map_batches(
+        make_semi_filter(["o_custkey"], key_set), batch_format="pyarrow"
+    ).select_columns(["o_orderkey", "o_orderdate"])
+
+    def rev_prep(b: pa.Table) -> pa.Table:
+        rev = pc.multiply(
+            b.column("l_extendedprice"), pc.subtract(1.0, b.column("l_discount"))
+        )
+        return pa.table(
+            {
+                "l_orderkey": b.column("l_orderkey"),
+                "rev_e4": _to_cents(rev, 10000),
+            }
+        )
+
+    li = read_parquet_clean(
+        _pq(sf_dir, "lineitem"),
+        columns=["l_orderkey", "l_shipdate", "l_extendedprice", "l_discount"],
+        filter=pc.field("l_shipdate") > cutoff,
+    ).map_batches(rev_prep, batch_format="pyarrow")
+
+    joined = hash_partitioned_join(
+        li, orders, "l_orderkey", "o_orderkey", how="inner", num_buckets=16
+    )
+
+    def keyed(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "l_orderkey": b.column("l_orderkey"),
+                "orderdate_us": pc.cast(b.column("o_orderdate"), pa.int64()),
+                "rev_e4": b.column("rev_e4"),
+            }
+        )
+
+    agg = partial_final_groupby(
+        joined.map_batches(keyed, batch_format="pyarrow"),
+        ["l_orderkey", "orderdate_us"],
+        [("rev_e4", "sum", "revenue_e4")],
+    )
+
+    def topk(b: pa.Table) -> pa.Table:
+        rev = pc.cast(b.column("revenue_e4"), pa.int64())
+        b = b.set_column(
+            b.schema.get_field_index("revenue_e4"), "revenue_e4", rev
+        )
+        if b.num_rows <= k:
+            order = np.lexsort(
+                (
+                    b.column("l_orderkey").to_numpy(zero_copy_only=False),
+                    b.column("orderdate_us").to_numpy(zero_copy_only=False),
+                    -rev.to_numpy(zero_copy_only=False),
+                )
+            )
+            return b.select(
+                ["l_orderkey", "revenue_e4", "orderdate_us"]
+            ).take(pa.array(order))
+        order = np.lexsort(
+            (
+                b.column("l_orderkey").to_numpy(zero_copy_only=False),
+                b.column("orderdate_us").to_numpy(zero_copy_only=False),
+                -rev.to_numpy(zero_copy_only=False),
+            )
+        )[:k]
+        return b.select(["l_orderkey", "revenue_e4", "orderdate_us"]).take(
+            pa.array(order)
+        )
+
+    # per-batch prune (≤k rows survive each batch) → one-block final pick
+    return (
+        agg.map_batches(topk, batch_format="pyarrow")
+        .repartition(1)
+        .map_batches(topk, batch_format="pyarrow", batch_size=None)
+    )
