@@ -3093,3 +3093,89 @@ def q3_shipping_priority(sf_dir: str, k: int = 10):
         .repartition(1)
         .map_batches(topk, batch_format="pyarrow", batch_size=None)
     )
+
+
+# ---------------------------------------------------------------------------
+# RANGE frame window (time-based trailing window): SUM over every event of
+# the same user within the last hour INCLUSIVE of the current row's peers —
+# RANGE semantics, not ROWS: all rows sharing the current ORDER BY value
+# join the frame. Kernel: one lexsort, then BOTH frame edges come from one
+# global vectorized np.searchsorted over a band-shifted timestamp axis —
+# each group's timestamps are offset into a disjoint integer band wider
+# than (global span + window), so a group-local binary search becomes a
+# single global one, with NO per-group Python loop. Groups are chunked if
+# (#groups × band) would overflow int64 (the same vectorized code on group
+# slices), so the kernel stays exact at any key cardinality.
+# ---------------------------------------------------------------------------
+_HOUR_US = 3_600_000_000
+
+
+@_register(
+    "q_trailing_hour_sum",
+    """
+    SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+           CAST(SUM(CAST(ROUND(value*100) AS BIGINT)) OVER (
+             PARTITION BY user_id ORDER BY ts
+             RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+             AS BIGINT) AS hour_c
+    FROM events
+    ORDER BY user_id, ts_us, event_id
+    """,
+)
+def q_trailing_hour_sum(sf_dir: str, n_partitions: int = 64):
+    ev = read_parquet_clean(
+        _pq(sf_dir, "events"), columns=["event_id", "user_id", "ts", "value"]
+    )
+
+    def trailing(group: pa.Table) -> pa.Table:
+        u = group.column("user_id").to_numpy(zero_copy_only=False)
+        ts = pc.cast(group.column("ts"), pa.int64()).to_numpy(zero_copy_only=False)
+        eid = group.column("event_id").to_numpy(zero_copy_only=False)
+        cents = _to_cents(group.column("value")).to_numpy(zero_copy_only=False)
+        if len(u) == 0:
+            return pa.table(
+                {
+                    "event_id": pa.array([], pa.int64()),
+                    "user_id": pa.array([], pa.int64()),
+                    "ts_us": pa.array([], pa.int64()),
+                    "hour_c": pa.array([], pa.int64()),
+                }
+            )
+        order = np.lexsort((eid, ts, u))
+        u, ts, eid, cents = u[order], ts[order], eid[order], cents[order]
+        starts, lens, _, _ = _group_offsets(u)
+        ts0 = ts - ts.min()
+        span = int(ts0.max())
+        band = span + _HOUR_US + 2  # groups can never see a neighbour's band
+        prefix = np.concatenate(([0], np.cumsum(cents)))
+        hour_c = np.empty(len(u), dtype=np.int64)
+        # chunk groups so gid*band stays < 2^62 (beyond ~4e18/band groups
+        # per bucket the shifted axis would overflow; same code, sliced)
+        max_g = max(1, (1 << 62) // band)
+        for g0 in range(0, len(starts), max_g):
+            g1 = min(g0 + max_g, len(starts))
+            lo_row = starts[g0]
+            hi_row = starts[g1] if g1 < len(starts) else len(u)
+            gid = np.repeat(
+                np.arange(g1 - g0, dtype=np.int64), lens[g0:g1]
+            )
+            shifted = ts0[lo_row:hi_row] + gid * band
+            lo = np.searchsorted(shifted, shifted - _HOUR_US, side="left")
+            hi = np.searchsorted(shifted, shifted, side="right")
+            hour_c[lo_row:hi_row] = (
+                prefix[lo_row + hi] - prefix[lo_row + lo]
+            )
+        return pa.table(
+            {
+                "event_id": pa.array(eid, type=pa.int64()),
+                "user_id": pa.array(u, type=pa.int64()),
+                "ts_us": pa.array(ts, type=pa.int64()),
+                "hour_c": pa.array(hour_c, type=pa.int64()),
+            }
+        )
+
+    from radiant_portal_pipeline_ray.stages.taskshuffle import exchange_group
+
+    return exchange_group(ev, ["user_id"], n_partitions, trailing).sort(
+        ["user_id", "ts_us", "event_id"]
+    )
