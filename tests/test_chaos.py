@@ -112,3 +112,27 @@ def test_fault_inject_default_off(ray_session, tmp_path, chaos_changelog):
     eng = CdcEngine(str(tmp_path / "lake"), EngineConfig(n_parts=8))
     rep = eng.apply(chaos_changelog[:1])
     assert rep["version"] == 1
+
+
+@pytest.mark.parametrize("phase", ["scout", "merge"])
+def test_worker_crash_under_two_level_exchange(
+    ray_session, tmp_path, chaos_changelog, reference_engine, phase, monkeypatch
+):
+    """Chaos × the two-level exchange: with the driver ref budget forced to
+    1, the apply routes through split→subsplit→merge; a worker death in
+    either bracketing phase must still be absorbed by task retry with the
+    identical committed state."""
+    from radiant_portal_pipeline_ray.stages import taskshuffle as ts
+
+    monkeypatch.setattr(ts, "_REF_BUDGET", 1)
+    inj = tmp_path / "inj"
+    inj.mkdir()
+    eng = CdcEngine(
+        str(tmp_path / "lake"),
+        EngineConfig(n_parts=8, fault_inject=(phase, str(inj))),
+    )
+    r1 = eng.apply(chaos_changelog[:2])
+    assert (inj / "died").exists()
+    assert r1["version"] == 1
+    eng.apply(chaos_changelog[2:])
+    assert_tables_equal(engine_state(eng), engine_state(reference_engine))

@@ -259,3 +259,47 @@ def test_s3_lake_full_cycle(ray_session, moto_s3, tmp_path):
     assert cm.version == v_now
     forked = CdcEngine("s3://lakes/fork", EngineConfig(n_parts=4), lake=clone)
     assert sorted_state(forked).equals(before)
+
+
+def test_s3_worker_crash_exactly_once(ray_session, moto_s3, tmp_path):
+    """Chaos × object store: a worker hard-exits mid-scout / mid-merge
+    (for merge: AFTER staging a partition's files to S3), and the retried
+    task must overwrite the same staged keys — S3 PUTs are idempotent and
+    the staged names are deterministic per (txn, part, seq) — leaving the
+    committed state byte-equal to a POSIX no-fault replay. The object-store
+    twin of tests/test_chaos.py."""
+    from radiant_portal_pipeline_ray.config import EngineConfig
+    from radiant_portal_pipeline_ray.pipelines.apply import CdcEngine
+    from radiant_portal_pipeline_ray.sources.generator import (
+        ChangelogSpec,
+        generate_changelog,
+    )
+
+    _mk_bucket("chaoslakes")
+    paths = generate_changelog(
+        str(tmp_path / "cl"),
+        ChangelogSpec(n_urls=400, n_events=2000, n_batches=2, seed=53),
+    )
+
+    def sorted_state(eng):
+        t = eng.snapshot_table()
+        return t.take(pc.sort_indices(t, sort_keys=[("url", "ascending")]))
+
+    posix = CdcEngine(str(tmp_path / "posix"), EngineConfig(n_parts=4))
+    for p in paths:
+        posix.apply([p])
+    want = sorted_state(posix)
+
+    for phase in ("scout", "merge"):
+        inj = tmp_path / f"inj_{phase}"
+        inj.mkdir()
+        eng = CdcEngine(
+            f"s3://chaoslakes/{phase}",
+            EngineConfig(n_parts=4, fault_inject=(phase, str(inj))),
+        )
+        r1 = eng.apply(paths[:1])
+        assert (inj / "died").exists(), phase
+        assert r1["version"] == 1 and r1["commit_attempts"] == 1
+        r2 = eng.apply(paths[1:])
+        assert r2["version"] == 2
+        assert sorted_state(eng).equals(want), phase
