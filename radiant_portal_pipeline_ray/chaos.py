@@ -36,6 +36,17 @@ def maybe_die_once(fault: tuple | None, phase: str) -> None:
     """
     if fault is None or fault[0] != phase:
         return
+    # never kill a DRIVER: small exchanges legally fold driver-local (the
+    # 16 MB threshold in taskshuffle), and ``os._exit`` there would take the
+    # whole application down instead of simulating a lost worker
+    try:
+        import ray
+        from ray._private.worker import global_worker
+
+        if global_worker.mode != ray.WORKER_MODE:
+            return
+    except Exception:
+        return
     sentinel = os.path.join(fault[1], "died")
     try:
         fd = os.open(sentinel, os.O_CREAT | os.O_EXCL | os.O_WRONLY)

@@ -109,7 +109,8 @@ class EngineConfig:
     run_qa: bool = False
 
     # --- chaos (tests only) ----------------------------------------------
-    #: worker-crash injection point: ``("scout"|"merge", sentinel_dir)``.
+    #: worker-crash injection point:
+    #: ``("scout"|"merge"|"compact", sentinel_dir)``.
     #: The first matching task after the sentinel dir is empty hard-exits
     #: its worker process (a REAL worker death — Ray's task retry, the
     #: deterministic staged-file names and the manifest CAS must absorb it).

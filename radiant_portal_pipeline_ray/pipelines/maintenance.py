@@ -104,6 +104,7 @@ def _make_rewriter(
     compression: str,
     purge_horizon_us: int | None,
     filesystem=None,
+    fault_inject: tuple | None = None,
 ):
     def rewrite(group: pa.Table) -> pa.Table:
         part = group.column("part")[0].as_py()
@@ -147,6 +148,12 @@ def _make_rewriter(
                 total += int(filesystem.info(path)["size"])
             files.append(fn)
             stats.append(file_stats(chunk))
+        if fault_inject is not None:
+            # tests only: die AFTER staging this partition's rewrite — the
+            # retried task overwrites the same deterministic staged names
+            from radiant_portal_pipeline_ray.chaos import maybe_die_once
+
+            maybe_die_once(fault_inject, "compact")
         return pa.Table.from_pydict(
             {
                 "part": [part],
@@ -211,6 +218,7 @@ def compact(
         cfg.compression,
         purge_horizon_us,
         filesystem=lake.filesystem,
+        fault_inject=cfg.fault_inject,
     )
     from radiant_portal_pipeline_ray.stages.taskshuffle import exchange_group
 

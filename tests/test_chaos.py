@@ -136,3 +136,35 @@ def test_worker_crash_under_two_level_exchange(
     assert r1["version"] == 1
     eng.apply(chaos_changelog[2:])
     assert_tables_equal(engine_state(eng), engine_state(reference_engine))
+
+
+def test_worker_crash_during_compact(
+    ray_session, tmp_path, chaos_changelog, monkeypatch
+):
+    """Chaos × compaction: the rewrite task dies AFTER staging a
+    partition's compacted files; the retry overwrites the same staged
+    names and the committed compacted state equals the pre-compact
+    snapshot row-for-row. The driver-local fold threshold is forced to 0
+    so the rewrite actually runs in Ray workers at fixture scale (the
+    chaos hook refuses to kill a driver)."""
+    from radiant_portal_pipeline_ray.pipelines.maintenance import compact
+    from radiant_portal_pipeline_ray.stages import taskshuffle as ts
+
+    monkeypatch.setattr(ts, "_DRIVER_LOCAL_BYTES", 0)
+
+    eng = CdcEngine(str(tmp_path / "lake"), EngineConfig(n_parts=8))
+    for p in chaos_changelog:
+        eng.apply([p])  # several small files per partition → compactable
+    before = engine_state(eng)
+
+    inj = tmp_path / "inj"
+    inj.mkdir()
+    rep = compact(
+        str(tmp_path / "lake"),
+        EngineConfig(n_parts=8, fault_inject=("compact", str(inj))),
+        min_files=1,
+    )
+    assert (inj / "died").exists(), "compact fault never fired"
+    assert not rep["noop"]
+    assert_tables_equal(engine_state(eng), before)
+    _assert_no_orphan_data_files(eng)
