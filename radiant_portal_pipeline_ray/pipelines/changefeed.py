@@ -23,8 +23,10 @@ url has a (possibly tombstone) row there, else NULL.
 
 from __future__ import annotations
 
+import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
+import pyarrow.parquet as pq
 import ray.data as rd
 
 _DIFF_COLS = ["url", "lsn", "deleted"]
@@ -395,3 +397,147 @@ def cdc_incremental_agg(sf_dir: str):
 
 
 QUERIES["cdc_incremental_agg"] = (cdc_incremental_agg, _INCR_AGG_SQL)
+
+
+# ---------------------------------------------------------------------------
+# Incremental JOIN-view maintenance — the reference's headline
+# denormalization pattern (Exomiser columns denormalized INTO the
+# occurrence table beat the query-time join 539 vs 333 QPS,
+# design/SJRA-867-task-based-processing.md:50-100): a url-keyed view
+# `url → (lsn, source_docs)` enriched with a small dimension attribute is
+# maintained from the v1 snapshot + the v1→v2 change feed ONLY — the v2
+# snapshot is never read. Deltas and seed co-locate through one keyed
+# exchange on url; per bucket the fold is a lexsort + last-rank pick
+# (delta beats seed), deletes drop, and the dim lookup is a broadcast
+# vectorized index_in — no shuffle of the dimension, no driver state.
+# ---------------------------------------------------------------------------
+_INCR_JOIN_SQL = """
+    WITH d AS (
+      SELECT doc_id, source,
+             'https://' || source || '.example.net/doc/' ||
+               lpad(CAST(doc_id AS VARCHAR), 8, '0') AS url,
+             ROW_NUMBER() OVER (ORDER BY doc_id) AS rn
+      FROM documents
+    ), upd AS (
+      SELECT doc_id, ROW_NUMBER() OVER (ORDER BY doc_id) AS ur
+      FROM documents WHERE doc_id % 3 = 0
+    ), final AS (
+      SELECT d.url, d.source,
+             CASE WHEN upd.doc_id IS NOT NULL
+                  THEN (SELECT COUNT(*) FROM d) + upd.ur
+                  ELSE d.rn END AS lsn
+      FROM d LEFT JOIN upd ON d.doc_id = upd.doc_id
+      WHERE d.doc_id % 17 <> 0
+    ), dim AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS source_docs
+      FROM documents GROUP BY source
+    )
+    SELECT f.url, CAST(f.lsn AS BIGINT) AS lsn, dim.source_docs
+    FROM final f JOIN dim USING (source)
+    ORDER BY url
+"""
+
+
+def cdc_incremental_join(sf_dir: str):
+    """Maintain the denormalized view incrementally: seed = v1 snapshot ⋈
+    dim, then apply ONLY the v1→v2 change feed (upserts re-enrich from the
+    broadcast dim; deletes drop). Output equals the oracle's full v2
+    recompute + join."""
+    import os
+    import shutil
+    import tempfile
+
+    from radiant_portal_pipeline_ray.config import EngineConfig
+    from radiant_portal_pipeline_ray.pipelines.apply import CdcEngine
+    from radiant_portal_pipeline_ray.pipelines.flagship import (
+        documents_changelog,
+    )
+    from radiant_portal_pipeline_ray.stages.taskshuffle import exchange_group
+
+    # small dimension: per-source document count (an attribute NOT
+    # derivable from the url — a genuine join, broadcast once)
+    dim = (
+        pq.read_table(
+            os.path.join(sf_dir, "documents.parquet"), columns=["source"]
+        )
+        .group_by("source")
+        .aggregate([("source", "count")])
+    )
+    dim_sources = dim.column("source").combine_chunks()
+    dim_counts = pc.cast(dim.column("source_count"), pa.int64()).combine_chunks()
+
+    def enrich(urls: pa.ChunkedArray | pa.Array) -> pa.Array:
+        src = pc.struct_field(
+            pc.extract_regex(urls, r"^https://(?P<s>[^.]+)\."), "s"
+        )
+        idx = pc.index_in(src, value_set=dim_sources)
+        return dim_counts.take(idx)
+
+    work = tempfile.mkdtemp(prefix="cdc_incrjoin_")
+    try:
+        paths = documents_changelog(sf_dir, os.path.join(work, "changelog"))
+        eng = CdcEngine(os.path.join(work, "lake"), EngineConfig(n_parts=8))
+        for p in paths:
+            eng.apply([p])
+
+        def seed_rows(b: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "url": b.column("url"),
+                    "lsn": pc.cast(b.column("lsn"), pa.int64()),
+                    "source_docs": enrich(b.column("url")),
+                    "rank": pa.array(
+                        np.zeros(b.num_rows, dtype=np.int8)
+                    ),
+                    "live": pa.array(np.ones(b.num_rows, dtype=bool)),
+                }
+            )
+
+        def delta_rows(b: pa.Table) -> pa.Table:
+            op = b.column("change_op")
+            return pa.table(
+                {
+                    "url": b.column("url"),
+                    "lsn": pc.coalesce(
+                        pc.cast(b.column("lsn_to"), pa.int64()),
+                        pa.scalar(0, pa.int64()),
+                    ),
+                    "source_docs": enrich(b.column("url")),
+                    "rank": pa.array(np.ones(b.num_rows, dtype=np.int8)),
+                    "live": pc.not_equal(op, "D"),
+                }
+            )
+
+        seed = eng.read_snapshot(["url", "lsn"], version=1).map_batches(
+            seed_rows, batch_format="pyarrow"
+        )
+        deltas = eng.read_changes(1, 2).map_batches(
+            delta_rows, batch_format="pyarrow"
+        )
+
+        def fold(t: pa.Table) -> pa.Table:
+            if t.num_rows == 0:
+                return pa.table(
+                    {
+                        "url": pa.array([], pa.string()),
+                        "lsn": pa.array([], pa.int64()),
+                        "source_docs": pa.array([], pa.int64()),
+                    }
+                )
+            urls = t.column("url").to_numpy(zero_copy_only=False)
+            rank = t.column("rank").to_numpy(zero_copy_only=False)
+            order = np.lexsort((rank, urls))
+            last = np.empty(len(urls), dtype=bool)
+            last[-1] = True
+            last[:-1] = urls[order][1:] != urls[order][:-1]
+            pick = t.take(pa.array(order[last]))
+            pick = pick.filter(pick.column("live"))
+            return pick.select(["url", "lsn", "source_docs"])
+
+        view = exchange_group(seed.union(deltas), ["url"], 64, fold)
+        return view.sort("url").materialize()  # /tmp lake removed on return
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+QUERIES["cdc_incremental_join"] = (cdc_incremental_join, _INCR_JOIN_SQL)
