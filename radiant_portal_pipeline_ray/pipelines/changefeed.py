@@ -318,6 +318,51 @@ def domain_stats_table(ds: "rd.Dataset") -> pa.Table:
     )
 
 
+def _delta_partials(changes: "rd.Dataset") -> "rd.Dataset":
+    """(domain, n, s) DELTA partials from one ``read_changes`` feed — the
+    incremental half of the fold: I adds a row and its lsn mass, D subtracts
+    both, U moves the lsn mass (new − old) at zero count change. Composable:
+    folding a view's partials with consecutive feeds' deltas v1→v2→…→vK
+    equals the full recompute at vK (tests/test_incremental_view.py)."""
+
+    def delta(b: pa.Table) -> pa.Table:
+        op = b.column("change_op")
+        sign = pc.case_when(
+            pc.make_struct(pc.equal(op, "I"), pc.equal(op, "D")),
+            pa.scalar(1, pa.int64()),
+            pa.scalar(-1, pa.int64()),
+            pa.scalar(0, pa.int64()),
+        )
+        new_mass = pc.multiply(
+            pc.coalesce(b.column("lsn_to"), pa.scalar(0, pa.int64())),
+            pc.cast(pc.not_equal(op, "D"), pa.int64()),
+        )
+        # for U rows the OLD live lsn leaves the group; for D the old
+        # row leaves; I contributes nothing old
+        old_mass = pc.multiply(
+            pc.coalesce(b.column("lsn_from"), pa.scalar(0, pa.int64())),
+            pc.cast(pc.not_equal(op, "I"), pa.int64()),
+        )
+        t = pa.table(
+            {
+                "domain": _domain_of(b.column("url")),
+                "dn": sign,
+                "dsum": pc.subtract(new_mass, old_mass),
+            }
+        )
+        g = t.group_by("domain").aggregate([("dn", "sum"), ("dsum", "sum")])
+        g = g.rename_columns(["domain", "n", "s"])
+        return pa.table(
+            {
+                "domain": g.column("domain"),
+                "n": pc.cast(g.column("n"), pa.int64()),
+                "s": pc.cast(g.column("s"), pa.int64()),
+            }
+        )
+
+    return changes.map_batches(delta, batch_format="pyarrow")
+
+
 def cdc_incremental_agg(sf_dir: str):
     """Maintain per-domain (n_docs, sum_lsn) incrementally: seed from the v1
     snapshot, then apply ONLY the v1→v2 change feed — never re-reading the
@@ -341,45 +386,6 @@ def cdc_incremental_agg(sf_dir: str):
 
         seed = _domain_partials(eng.read_snapshot(["url", "lsn"], version=1))
 
-        changes = eng.read_changes(1, 2)
-
-        def delta(b: pa.Table) -> pa.Table:
-            op = b.column("change_op")
-            sign = pc.case_when(
-                pc.make_struct(
-                    pc.equal(op, "I"), pc.equal(op, "D")
-                ),
-                pa.scalar(1, pa.int64()),
-                pa.scalar(-1, pa.int64()),
-                pa.scalar(0, pa.int64()),
-            )
-            new_mass = pc.multiply(
-                pc.coalesce(b.column("lsn_to"), pa.scalar(0, pa.int64())),
-                pc.cast(pc.not_equal(op, "D"), pa.int64()),
-            )
-            # for U rows the OLD live lsn leaves the group; for D the old
-            # row leaves; I contributes nothing old
-            old_mass = pc.multiply(
-                pc.coalesce(b.column("lsn_from"), pa.scalar(0, pa.int64())),
-                pc.cast(pc.not_equal(op, "I"), pa.int64()),
-            )
-            t = pa.table(
-                {
-                    "domain": _domain_of(b.column("url")),
-                    "dn": sign,
-                    "dsum": pc.subtract(new_mass, old_mass),
-                }
-            )
-            g = t.group_by("domain").aggregate([("dn", "sum"), ("dsum", "sum")])
-            g = g.rename_columns(["domain", "n", "s"])
-            return pa.table(
-                {
-                    "domain": g.column("domain"),
-                    "n": pc.cast(g.column("n"), pa.int64()),
-                    "s": pc.cast(g.column("s"), pa.int64()),
-                }
-            )
-
         # seed partials ∪ delta partials → ONE keyed exchange fold on
         # domain. No driver dict: at 10⁸ domains each hash bucket folds
         # its own disjoint slice (VERDICT r4 'What's wrong' #2).
@@ -387,7 +393,7 @@ def cdc_incremental_agg(sf_dir: str):
             exchange_group,
         )
 
-        deltas = changes.map_batches(delta, batch_format="pyarrow")
+        deltas = _delta_partials(eng.read_changes(1, 2))
         folded = exchange_group(
             seed.union(deltas), ["domain"], 64, _fold_domain
         )
